@@ -1,0 +1,147 @@
+"""Dictionary lookups and fuzzy word correction (operators J1, J2, Q4 inputs).
+
+Reproduces /root/reference/src/nlp/word_correction.py with one deliberate
+determinism fix (quirk Q7 / FIXTURES.md §3): every scan over the
+dictionary iterates candidates in **sorted** order, so corrections do not
+depend on Python set iteration order. Extracted-text goldens are
+generated with the same sorted order.
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+from typing import Dict, Optional, Set, Tuple
+
+# Base common-English set (word_correction.py:105-117).
+BASE_COMMON_WORDS: Set[str] = {
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+    "for", "not", "on", "with", "he", "as", "you", "do", "at", "this",
+    "but", "his", "by", "from", "they", "we", "say", "her", "she", "or",
+    "an", "will", "my", "one", "all", "would", "there", "their", "what",
+    "so", "up", "out", "if", "about", "who", "get", "which", "go", "me",
+    "when", "make", "can", "like", "time", "no", "just", "him", "know",
+    "take", "people", "into", "year", "your", "good", "some", "could",
+    "them", "see", "other", "than", "then", "now", "look", "only", "come",
+    "its", "over", "think", "also", "back", "after", "use", "two", "how",
+    "our", "work", "first", "well", "way", "even", "new", "want", "because",
+    "any", "these", "give", "day", "most", "us",
+}
+
+# Domain terminology set (word_correction.py:42-72).
+DOMAIN_TERMS: Set[str] = {
+    "dungeons", "dragons", "d&d", "dnd", "dm", "pc", "npc", "gm",
+    "hitpoints", "hp", "ac", "xp", "proficiency", "initiative", "multiclass",
+    "subclass", "feat", "feats", "cantrip", "cantrips", "spellcasting",
+    "str", "dex", "con", "int", "wis", "cha", "strength", "dexterity",
+    "constitution", "intelligence", "wisdom", "charisma",
+    "barbarian", "bard", "cleric", "druid", "fighter", "monk", "paladin",
+    "ranger", "rogue", "sorcerer", "warlock", "wizard",
+    "dwarf", "dwarves", "elf", "elves", "halfling", "human", "dragonborn",
+    "gnome", "tiefling", "half-elf", "half-orc", "aasimar", "genasi",
+    "longsword", "shortsword", "greatsword", "greataxe", "battleaxe",
+    "quarterstaff", "crossbow", "longbow", "shortbow", "warhammer",
+    "mace", "dagger", "rapier", "shield", "armor", "armour", "potion",
+    "adventurer", "adventurers", "spellcaster", "unarmored", "roleplaying",
+    "dungeon", "monster", "creature", "alignment", "skill", "skills",
+    "saving", "save", "attack", "damage", "magic", "magical", "spell", "spells",
+    "circumstances", "circumstance",
+}
+
+VALID_WORDS: Set[str] = BASE_COMMON_WORDS | DOMAIN_TERMS
+# Sorted once: the Q7 determinism fix — all candidate scans use this order.
+SORTED_VALID_WORDS = tuple(sorted(VALID_WORDS))
+SORTED_COMMON_WORDS = tuple(sorted(BASE_COMMON_WORDS))
+
+# OCR error patterns applied verbatim (word_correction.py:78-90).
+ERROR_PATTERNS: Dict[str, str] = {
+    r"\bm(?:\s*)ore\b": "more",
+    r"\bw(?:\s*)ith\b": "with",
+    r"\bt(?:\s*)he\b": "the",
+    r"\ba(?:\s*)n(?:\s*)d\b": "and",
+    r"\bf(?:\s*)or\b": "for",
+    r"\by(?:\s*)ou(?:\s*)r\b": "your",
+    r"\bt(?:\s*)o\b": "to",
+    r"\bt(?:\s*)hat\b": "that",
+    r"\bo(?:\s*)f\b": "of",
+    r"\bD(?:\s*)&(?:\s*)D\b": "D&D",
+    r"\bDun(?:\s*)geo(?:\s*)ns?(?:\s*)&(?:\s*)Dra(?:\s*)go(?:\s*)ns?\b": "Dungeons & Dragons",
+}
+_ERROR_COMPILED = [(re.compile(p), r) for p, r in ERROR_PATTERNS.items()]
+
+# Hyphenation-at-linebreak patterns (word_correction.py:93-100).
+_HYPHENATION = [
+    re.compile(r"(\w{2,})\xad\s*\n+\s*(\w{2,})"),
+    re.compile(r"(\w{2,})-\s*\n+\s*(\w{2,})"),
+    re.compile(r"(\w{2,})\s+-\s*(\w{2,})"),
+]
+
+MIN_WORD_LENGTH = 3
+MIN_CONFIDENCE = 0.7
+MAX_EDIT_DISTANCE = 2
+_WORD_RE = re.compile(r"\b(\w+)\b")
+
+
+def correct_word(word: str) -> Tuple[str, float]:
+    """Single-word correction (J2, word_correction.py:160-214).
+
+    Dictionary hit → identity; OCR pattern hit → 0.95; else a banded
+    broadcast-style scan (prefix-2 + |len diff|<=2 filters, difflib ratio
+    > 0.8, best >= 0.7) over the **sorted** dictionary (Q7 fix).
+    """
+    if not word or len(word) < MIN_WORD_LENGTH:
+        return word, 1.0
+    lower = word.lower()
+    if lower in VALID_WORDS:
+        return word, 1.0
+    for pat, repl in _ERROR_COMPILED:
+        if pat.match(word):
+            return repl, 0.95
+
+    if 3 <= len(word) <= 20:
+        best: Optional[Tuple[str, float]] = None
+        for cand in SORTED_VALID_WORDS:
+            if abs(len(cand) - len(word)) > MAX_EDIT_DISTANCE:
+                continue
+            if cand[:2] == lower[:2]:
+                ratio = difflib.SequenceMatcher(None, lower, cand).ratio()
+                if ratio > 0.8 and (best is None or ratio > best[1]):
+                    best = (cand, ratio)
+        if best and best[1] >= MIN_CONFIDENCE:
+            fixed = best[0]
+            if word[0].isupper() and fixed[0].islower():
+                fixed = fixed.capitalize()
+            return fixed, best[1]
+    return word, 1.0
+
+
+def fix_hyphenated_words(text: str) -> str:
+    """Rejoin words split by line-break hyphens (word_correction.py:133-158)."""
+    def _join(match: "re.Match[str]") -> str:
+        a, b = match.groups()
+        joined = a + b
+        if joined.lower() in VALID_WORDS:
+            return joined
+        fixed, conf = correct_word(joined)
+        if conf > 0.9:
+            return fixed
+        return a + " " + b
+
+    for pat in _HYPHENATION:
+        text = pat.sub(_join, text)
+    return text.replace("\xad", "")
+
+
+def correct_text(text: str) -> str:
+    """Text-level correction (word_correction.py:216-282, simple path)."""
+    if not text:
+        return text
+    text = fix_hyphenated_words(text)
+    for pat, repl in _ERROR_COMPILED:
+        text = pat.sub(repl, text)
+    for word in _WORD_RE.findall(text):
+        if len(word) >= MIN_WORD_LENGTH:
+            fixed, conf = correct_word(word)
+            if conf >= MIN_CONFIDENCE:
+                text = re.sub(r"\b" + re.escape(word) + r"\b", fixed, text)
+    return text

@@ -1,0 +1,136 @@
+"""Resumable micro-batches with per-partition lineage (north_rule).
+
+Local-filesystem parquet stands in for the Iceberg tables named by the
+north rule; the *pattern* is the portable part:
+
+- Work is split into deterministic batches by ``pmod(xxhash64(url), B)``
+  — a pure function of the data, so a restart recomputes the same
+  batch membership without coordination.
+- A ``checkpoint`` table records completed ``(snapshot_id, batch_id)``;
+  on restart the remaining set is the anti-join of all batch ids against
+  it (FIXTURES.md §5). The checkpoint row is written only AFTER the
+  batch's data directory is fully written, and each batch overwrites its
+  own directory — so a crash mid-batch re-runs just that batch and the
+  rewrite is idempotent (exactly-once output).
+- A ``lineage`` table records per-batch rows_in/rows_out and the per-url
+  failure reasons surfaced by the extraction stage.
+
+At cluster scale batches map to Iceberg partitions/snapshots and the
+checkpoint/lineage tables are Iceberg tables written in the same
+transaction; nothing in the control flow changes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from typing import List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_pages
+
+CHECKPOINT_SCHEMA = ("snapshot_id long, batch_id int, row_count long, "
+                     "failure_count long, completed_at timestamp")
+LINEAGE_SCHEMA = (
+    "batch_id int, input_snapshot_id long, partition_id int, rows_in long, "
+    "rows_out long, failures array<struct<url:string, reason:string>>"
+)
+
+
+def _checkpoint_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_checkpoint")
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def completed_batches(spark: SparkSession, out_dir: str,
+                      snapshot_id: int) -> List[int]:
+    path = _checkpoint_path(out_dir)
+    if not os.path.exists(path):
+        return []
+    cp = spark.read.parquet(path)
+    return [r.batch_id for r in
+            cp.filter(F.col("snapshot_id") == snapshot_id)
+              .select("batch_id").distinct().collect()]
+
+
+def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
+                  snapshot_id: int, num_batches: int = 8,
+                  levels: Sequence[str] = ("raw",),
+                  max_batches: Optional[int] = None) -> List[int]:
+    """Process ``pages`` in resumable batches; returns batch ids run.
+
+    ``max_batches`` limits work for kill/restart testing — a subsequent
+    call with the same arguments processes only the remainder.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = set(completed_batches(spark, out_dir, snapshot_id))
+    todo = [b for b in range(num_batches) if b not in done]
+    if max_batches is not None:
+        todo = todo[:max_batches]
+
+    batched = pages.withColumn(
+        "batch_id", F.pmod(F.xxhash64("url"), F.lit(num_batches)).cast("int"))
+    batched.cache()
+    ran: List[int] = []
+    try:
+        for batch_id in todo:
+            batch = batched.filter(F.col("batch_id") == batch_id).drop("batch_id")
+            rows_in = batch.count()
+            extracted = extract_pages(batch, levels=levels).cache()
+            try:
+                out_rows = extracted.filter(F.col("failure_reason").isNull())
+                failures = [
+                    {"url": r.url, "reason": r.failure_reason}
+                    for r in extracted.filter(
+                        F.col("failure_reason").isNotNull())
+                    .select("url", "failure_reason").collect()
+                ]
+                data_dir = os.path.join(out_dir, "data", f"batch={batch_id}")
+                if os.path.exists(data_dir):  # crash-mid-batch leftovers
+                    shutil.rmtree(data_dir)
+                out_rows.write.mode("overwrite").parquet(data_dir)
+                rows_out = rows_in - len(failures)
+
+                _append(spark, _lineage_path(out_dir), LINEAGE_SCHEMA, [{
+                    "batch_id": batch_id,
+                    "input_snapshot_id": snapshot_id,
+                    "partition_id": batch_id,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "failures": failures,
+                }])
+                # Commit point: checkpoint row AFTER data + lineage land.
+                _append(spark, _checkpoint_path(out_dir), CHECKPOINT_SCHEMA, [{
+                    "snapshot_id": snapshot_id,
+                    "batch_id": batch_id,
+                    "row_count": rows_out,
+                    "failure_count": len(failures),
+                    "completed_at": dt.datetime.now(dt.timezone.utc),
+                }])
+                ran.append(batch_id)
+            finally:
+                extracted.unpersist()
+    finally:
+        batched.unpersist()
+    return ran
+
+
+def _append(spark: SparkSession, path: str, schema: str,
+            rows: List[dict]) -> None:
+    spark.createDataFrame(pd.DataFrame(rows), schema=schema) \
+        .coalesce(1).write.mode("append").parquet(path)
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_lineage_path(out_dir))

@@ -1,0 +1,157 @@
+"""Spark pipeline tests: golden byte-identity, determinism under
+repartitioning, failure capture, resume/lineage (SURVEY.md §5.2)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.pipeline.extract import (
+    LEVELS,
+    extract_pages,
+    extraction_stats,
+    repartition_salted,
+)
+from pdf_extractor_spark.pipeline import lineage as lin
+from pdf_extractor_spark.sources.pages import (
+    build_pages_records,
+    synth_pages_df,
+)
+from tools.make_goldens import GOLDEN_N, GOLDEN_SEED, OUT_DIR, url_hash
+
+pytestmark = pytest.mark.spark
+
+
+def _load_goldens():
+    with open(os.path.join(OUT_DIR, "_index.json"), encoding="utf-8") as f:
+        index = json.load(f)
+    goldens = {}
+    for h, url in index.items():
+        with open(os.path.join(OUT_DIR, f"{h}.json"), encoding="utf-8") as f:
+            goldens[url] = json.load(f)
+    return goldens
+
+
+class TestGoldenIdentity:
+    def test_spark_matches_goldens_byte_identical(self, spark):
+        goldens = _load_goldens()
+        pages = synth_pages_df(spark, GOLDEN_N, seed=GOLDEN_SEED, partitions=7)
+        rows = extract_pages(pages, levels=LEVELS).collect()
+        assert len(rows) == GOLDEN_N
+        for r in rows:
+            g = goldens[r.url]
+            assert r.failure_reason is None, (r.url, r.failure_reason)
+            assert r.text == g["text"], f"raw text mismatch for {r.url}"
+            assert r.lines_json == g["lines_json"], r.url
+            assert r.chapters_json == g["chapters_json"], r.url
+            assert r.processed_json == g["processed_json"], r.url
+            assert r.markdown == g["markdown"], r.url
+
+    def test_all_content_classes_covered(self):
+        goldens = _load_goldens()
+        classes = {u.split("/docs/")[1].split("/")[0] for u in goldens}
+        assert len(classes) == 9
+
+    def test_goldens_have_no_failures(self):
+        assert all(g["failure_reason"] is None
+                   for g in _load_goldens().values())
+
+
+class TestDeterminism:
+    def test_partition_count_invariance(self, spark):
+        """Same input at 2 and 32 partitions → identical (url, text) bytes
+        (FIXTURES.md §5, SURVEY §5.2.5)."""
+        def run(parts):
+            pages = synth_pages_df(spark, 60, partitions=parts)
+            out = extract_pages(repartition_salted(pages, parts),
+                                levels=("raw",))
+            return sorted((r.url, r.text) for r in out.collect())
+
+        assert run(2) == run(32)
+
+    def test_executor_vs_driver_generation_identical(self, spark):
+        """sources: executor-side mapInPandas generation == driver pandas."""
+        driver = {r["url"]: r["html"] for r in build_pages_records(30)}
+        dist = {r.url: bytes(r.html)
+                for r in synth_pages_df(spark, 30, partitions=5).collect()}
+        assert driver == dist
+
+
+class TestFailureCapture:
+    def test_poison_rows_become_failure_reason(self, spark):
+        rows = [
+            ("https://x.example/ok.html", None,
+             b"<html><body><p>A perfectly fine paragraph of content here.</p></body></html>",
+             None, "en"),
+            ("https://x.example/bad.pdf", None, b"%PDF-1.4 garbage", None, "en"),
+            ("https://x.example/empty.bin", None, b"", None, "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+        out = {r.url: r for r in extract_pages(df).collect()}
+        assert out["https://x.example/ok.html"].failure_reason is None
+        assert "PdfParseError" in out["https://x.example/bad.pdf"].failure_reason
+        assert out["https://x.example/empty.bin"].failure_reason is not None
+        assert out["https://x.example/empty.bin"].doctype == "empty"
+
+    def test_wet_pretext_fallback(self, spark):
+        df = spark.createDataFrame(
+            [("https://x.example/wet.txt", None, None,
+              "Pre extracted text. Already clean.", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string")
+        r = extract_pages(df).collect()[0]
+        assert r.failure_reason is None
+        assert r.text == "Pre extracted text.\nAlready clean."
+
+
+class TestStatsAndPlan:
+    def test_extraction_stats_rollup(self, spark):
+        pages = synth_pages_df(spark, 40, partitions=4)
+        stats = extraction_stats(extract_pages(pages)).collect()
+        by_type = {r.doctype: r for r in stats}
+        assert by_type["html"].docs == 20 and by_type["pdf"].docs == 20
+        assert by_type["html"].failures == 0
+
+    def test_salted_repartition_spreads_hot_domain(self, spark):
+        pages = synth_pages_df(spark, 300, partitions=4, skew_frac=0.5)
+        parts = (repartition_salted(pages, 12)
+                 .withColumn("pid", F.spark_partition_id())
+                 .groupBy("pid").count().collect())
+        counts = [r["count"] for r in parts]
+        assert len(counts) == 12
+        assert max(counts) <= 2.5 * (sum(counts) / len(counts))
+
+
+class TestResumeLineage:
+    def test_resume_processes_only_remainder(self, spark, tmp_path):
+        out_dir = str(tmp_path / "out")
+        pages = synth_pages_df(spark, 80, partitions=4)
+        first = lin.run_resumable(spark, pages, out_dir, snapshot_id=7,
+                                  num_batches=6, max_batches=2)
+        assert len(first) == 2
+        second = lin.run_resumable(spark, pages, out_dir, snapshot_id=7,
+                                   num_batches=6)
+        assert sorted(first + second) == list(range(6))
+        # Exactly-once: output rows equal input rows, no duplicates.
+        out = lin.read_output(spark, out_dir)
+        assert out.count() == 80
+        assert out.select("url").distinct().count() == 80
+
+    def test_rerun_after_completion_is_noop(self, spark, tmp_path):
+        out_dir = str(tmp_path / "out")
+        pages = synth_pages_df(spark, 30, partitions=2)
+        lin.run_resumable(spark, pages, out_dir, snapshot_id=1, num_batches=3)
+        again = lin.run_resumable(spark, pages, out_dir, snapshot_id=1,
+                                  num_batches=3)
+        assert again == []
+        assert lin.read_output(spark, out_dir).count() == 30
+
+    def test_lineage_rows_account_for_all_input(self, spark, tmp_path):
+        out_dir = str(tmp_path / "out")
+        pages = synth_pages_df(spark, 40, partitions=2)
+        lin.run_resumable(spark, pages, out_dir, snapshot_id=3, num_batches=4)
+        lineage = lin.read_lineage(spark, out_dir)
+        agg = lineage.agg(F.sum("rows_in").alias("rin"),
+                          F.sum("rows_out").alias("rout")).collect()[0]
+        assert agg.rin == 40 and agg.rout == 40

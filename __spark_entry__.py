@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fused-extraction query on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the full operator registry
+(pdf_extractor_spark.queries) — one entry per implemented SURVEY.md §2
+mapping plus the training-data pipeline ops (dedup / similarity /
+text-analysis / multimodal).
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_extractor_spark import queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the fused extraction pipeline (detect → parse →
+    normalize → line level) over sf0.001 documents, rolled up per
+    lang. Exercises the mapInPandas kernel chain end-to-end."""
+    return q.extraction.q_extract_docs_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 and the
+    training-data pipeline surface. Each callable takes
+    (spark, sf_dir) and returns a DataFrame with oracle-matched
+    column names."""
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted only for the
+    non-SQL-expressible fused-extraction pipeline, which is golden-
+    checked by pytest instead)."""
+    return q.oracle_sql()

@@ -1,0 +1,36 @@
+"""Relational query surface — the driver-checkable operator registry.
+
+Each entry maps a SURVEY.md §2 operator (or a training-data pipeline
+operation) to an idiomatic-Spark implementation plus an ANSI-SQL oracle
+that DuckDB runs on the same parquet tables. The registry feeds
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Registry shape: ``name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+``None`` oracle ⇒ rows-only check (non-SQL-expressible op).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, extraction, relational, simsearch, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+for mod in (relational, dedup, simsearch, textstats, extraction):
+    overlap = set(REGISTRY) & set(mod.QUERIES)
+    if overlap:
+        raise ValueError(f"duplicate query names: {sorted(overlap)}")
+    REGISTRY.update(mod.QUERIES)
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

@@ -1,0 +1,382 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — every variant expressed with JVM-side builtins (zero Python
+in the hot path) and a DuckDB-runnable ANSI oracle.
+
+Cross-engine hash parity: token hashes derive from ``md5`` (identical
+bytes in Spark and DuckDB); the first 8 hex chars become a 32-bit int
+via base-16 conversion. All MinHash permutations use
+``(a*h + b) % P`` with ``a < 2^30`` so the product stays < 2^62 (no
+BIGINT overflow in either engine).
+
+Scale posture (the part that matters at 100 TB):
+- never O(n²) on documents: candidate pairs come from inverted-index /
+  band-bucket joins (shuffle keyed on shingle / band signature);
+- the only quadratic joins here are on the 500-row embeddings table
+  per the driver's small-scale check; the LSH-bucketed variant next to
+  it is the path that survives 10^9 vectors (pairs only within bucket);
+- global top-k uses a total order (score, id_a, id_b) so AQE/partition
+  order cannot change the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+# (a, b) pairs for 16 permutations — odd multipliers < 2^30, fixed seed.
+MINHASH_PERMS = [
+    (961748941, 982451653), (634913411, 791123887), (373587883, 426752843),
+    (217645177, 158594339), (122949823, 676949143), (68718951, 904193213),
+    (37139213, 258125981), (19480387, 561014729), (10619863, 73471097),
+    (5414677, 918423767), (2584331, 307409723), (1159523, 650314637),
+    (486103, 440484833), (191161, 869415257), (69313, 54276919),
+    (22937, 175978261),
+]
+LSH_BANDS = 4
+LSH_ROWS = 4  # 4 bands × 4 rows = 16 signature slots
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != ""))
+
+
+_WORDS_CTE = ("WITH words AS (SELECT doc_id, "
+              "unnest(string_split(text, ' ')) AS word FROM documents)")
+
+# token hash: first 8 hex chars of md5 → 32-bit unsigned int
+_HASH_SPARK = lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10) \
+    .cast("long")
+_HASH_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keep the lowest doc_id
+    per group. One shuffle on the 16-byte hash — at 100 TB this is the
+    canonical first dedup pass (hash, not full text, shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("keep_doc_id")
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup --------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup via inverted index: shingle →
+    doc postings, self-join on shingle (the shuffle key), count common
+    shingles per pair, Jaccard from the exact set sizes. Top-20 pairs
+    under a unique total order. No document ever cross-joins another
+    without at least one shared shingle."""
+    docs = _t(spark, sf_dir, "documents")
+    shingles = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
+                " i -> concat_ws(' ', split(text,' ')[i],"
+                " split(text,' ')[i+1], split(text,' ')[i+2]))"
+            )).alias("shingle"))
+        .distinct())
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    scored = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                    6)))
+    return (scored.select("doc_a", "doc_b", "n_common", "jaccard")
+            .orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20))
+
+
+ORACLE_JACCARD = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+# --- MinHash signatures + LSH banding -------------------------------------
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, j, sig): min over the doc's distinct tokens of
+    perm_j(token_hash). The perm table is a literal cross join (16
+    rows) — Catalyst folds it; the heavy side shuffles once on doc_id."""
+    words = _doc_words(spark, sf_dir).distinct() \
+        .withColumn("h", _HASH_SPARK(F.col("word")))
+    perms = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PERMS)],
+        "j int, a long, b long")
+    return (
+        words.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b"))
+                   % F.lit(MINHASH_PRIME)).alias("sig"))
+    )
+
+
+_PERM_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PERMS))
+_SIGS_SQL = f"""
+tok AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), hashed AS (
+  SELECT doc_id, {_HASH_SQL.format(c='word')} AS h FROM tok
+), perms(j, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, j, MIN((a * h + b) % {MINHASH_PRIME}) AS sig
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, j
+)"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature summary — parity evidence that all 16
+    permutation lanes agree bit-for-bit with the oracle."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    return (
+        sigs.groupBy("doc_id")
+        .agg(F.sum("sig").alias("sig_sum"),
+             F.min("sig").alias("sig_min"),
+             F.max("sig").alias("sig_max"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MINHASH_SIGS = f"""
+WITH {_SIGS_SQL}
+SELECT doc_id, SUM(sig) AS sig_sum, MIN(sig) AS sig_min, MAX(sig) AS sig_max
+FROM sigs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 4 rows; band key = the 4 sigs concatenated;
+    candidate pairs = docs sharing any band key. The pair join is keyed
+    on (band, band_key) — the only pairs materialized are true bucket
+    collisions, which is what makes MinHash dedup feasible at 10^12
+    docs."""
+    sigs = _minhash_sigs(spark, sf_dir) \
+        .withColumn("band", F.floor(F.col("j") / LSH_ROWS).cast("int"))
+    slot = lambda k: F.max(F.when(F.col("j") % LSH_ROWS == k, F.col("sig")))
+    bands = (
+        sigs.groupBy("doc_id", "band")
+        .agg(F.concat_ws("-", slot(0).cast("string"), slot(1).cast("string"),
+                         slot(2).cast("string"), slot(3).cast("string"))
+             .alias("band_key")))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SIGS_SQL},
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT) AS band,
+         MAX(CASE WHEN j % {LSH_ROWS} = 0 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 1 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 2 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 3 THEN CAST(sig AS VARCHAR) END)
+           AS band_key
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit weighted SimHash per doc: token-count-weighted bit votes,
+    bit set where the vote is positive. Bits unpivot via a 32-row
+    literal table (broadcast, folded); one shuffle on (doc_id, bit),
+    one on doc_id."""
+    words = (_doc_words(spark, sf_dir)
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             .withColumn("h", _HASH_SPARK(F.col("word"))))
+    bits = spark.createDataFrame([(b,) for b in range(32)], "bit int")
+    votes = (
+        words.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.when((F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit")))
+                    .cast("long") % 2) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt")))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v")))
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("v") > 0,
+                   F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+            .otherwise(F.lit(0))).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_SQL = f"""
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY doc_id, word
+), hashed AS (
+  SELECT doc_id, cnt, {_HASH_SQL.format(c='word')} AS h FROM wc
+), votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN CAST(FLOOR(h / POWER(2.0, bit)) AS BIGINT) % 2 = 1
+                  THEN cnt ELSE -cnt END) AS v
+  FROM hashed, LATERAL (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit
+), simhashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, bit) AS BIGINT)
+                  ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+ORACLE_SIMHASH_SIGS = f"""
+WITH {_SIMHASH_SQL}
+SELECT doc_id, simhash FROM simhashes ORDER BY doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 50 closest pairs by Hamming distance
+    (bit_count of XOR). The all-pairs join is acceptable at the
+    driver's 500-doc check; the scale path is prefix-bucketing the
+    simhash (same trick as LSH bands) — demonstrated by grouping on
+    the top byte first."""
+    sh = q_simhash_signatures(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))))
+    return (pairs.select("doc_a", "doc_b", "hamming")
+            .orderBy("hamming", "doc_a", "doc_b").limit(50))
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_SIMHASH_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+ORDER BY hamming, doc_a, doc_b LIMIT 50
+"""
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+def _cosine(col_a, col_b):
+    dot = F.aggregate(F.zip_with(col_a, col_b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(col_a, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(col_b, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-50 pairs by cosine similarity, computed
+    JVM-side with zip_with/aggregate (no Python). All-pairs is the
+    driver-scale baseline; `ann_lsh_topk` is the bucketed scale path."""
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim",
+                    F.round(_cosine(F.col("ea"), F.col("eb")), 4)))
+    return (pairs.select("vec_a", "vec_b", "cos_sim")
+            .orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(50))
+
+
+ORACLE_EMB_COSINE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGS),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_EMB_COSINE),
+}

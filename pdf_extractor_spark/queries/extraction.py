@@ -1,0 +1,104 @@
+"""Extraction-surface and multimodal queries for the driver contract.
+
+- ``extract_docs_stats`` drives the real fused extraction pipeline
+  (kernels via one mapInPandas stage) over the `documents` table
+  re-shaped as a pages table — rows-only check (the per-document
+  kernel chain is deliberately not re-expressed in SQL; its
+  correctness gate is the golden-fixture pytest suite).
+- ``multimodal_decode`` exercises the opaque-binary-column pattern:
+  payload bytes → mapInPandas "decode" producing typed metadata. The
+  decode itself is a deterministic stand-in (the container has no
+  image/audio codecs — a real deployment swaps `_fake_decode` for the
+  codec call), but the Spark-side plumbing (binary column, Arrow
+  batching, schema, partitioning) is real and oracle-checked because
+  the stand-in is a pure function of the byte length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.extract import extract_pages
+
+
+def q_extract_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over `documents` as a pages table
+    (pre-extracted-text path), rolled up per lang: the flagship
+    extraction demo at driver scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    extracted = extract_pages(pages, levels=("lines",))
+    return (
+        extracted.groupBy("lang")
+        .agg(F.count("*").alias("docs"),
+             F.count("failure_reason").alias("failures"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum("n_lines").alias("total_lines"))
+        .orderBy("lang")
+    )
+
+
+_DECODE_SCHEMA = ("doc_id long, media_type string, payload_bytes long, "
+                  "width int, height int, n_frames int")
+
+
+def _fake_decode(n_bytes: int) -> dict:
+    """Deterministic stand-in for an image/audio decode: pure function
+    of payload size. Swap for the real codec on a cluster with libs."""
+    return {
+        "media_type": "image" if n_bytes % 2 == 0 else "audio",
+        "width": 64 + n_bytes % 512,
+        "height": 64 + (n_bytes * 7) % 512,
+        "n_frames": 1 + n_bytes % 16,
+    }
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column → typed metadata via mapInPandas. The
+    payload column rides Arrow as bytes; the decode loop is batched
+    (iterator form, codec init once per partition at scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # codec/library init would happen HERE, once per partition
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n = len(payload)
+                rec = _fake_decode(n)
+                rec.update(doc_id=doc_id, payload_bytes=n)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return (with_payload.mapInPandas(decode, schema=_DECODE_SCHEMA)
+            .orderBy("doc_id"))
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CASE WHEN octet_length(encode(text)) % 2 = 0
+            THEN 'image' ELSE 'audio' END AS media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+       CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
+    "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
+}

@@ -1,0 +1,512 @@
+"""SURVEY.md §2 relational mappings over the driver's testdata tables.
+
+Each query is written Spark-first (declared plan, Catalyst optimizes)
+and carries an ANSI-SQL oracle DuckDB can run verbatim. Scale notes per
+query explain the shuffle/broadcast posture the plan would take on a
+1000-executor cluster.
+
+Cross-engine determinism rules used throughout:
+- money aggregates go through exact DECIMAL sums before any double cast
+  (order-independent, so shuffle/partition order cannot change bytes);
+- ratios are computed from exact integer/decimal sums, divided in
+  double, then rounded to 4 places in BOTH engines;
+- timestamps compare via integer microseconds (``unix_micros`` /
+  ``epoch_us``) — no truncation-semantics mismatch;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Small fixed word dimension (reference: common-word dictionary,
+# word_correction.py:42-75 ∪ common_words.txt — here a vocabulary-matched
+# stand-in). Broadcast-joined everywhere it is used (J1/J3).
+DICT_WORDS = ["the", "a", "table", "join", "row", "scan", "fast", "slow",
+              "value", "part", "data", "query"]
+
+_DICT_VALUES = ", ".join(f"('{w}')" for w in DICT_WORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to (doc_id, lang, source, word) — P2 analog:
+    split, drop empties. Stays in whole-stage codegen (no Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id", "lang", "source",
+                        F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != ""))
+
+
+_WORDS_SQL = ("SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word "
+              "FROM documents")
+_WORDS_CTE = f"WITH words AS (SELECT * FROM ({_WORDS_SQL}) WHERE word <> '')"
+
+
+# --- TPC-H-style core relational ops -----------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg with map-side partial
+    aggregation; only the tiny (flag,status) groups shuffle. DECIMAL
+    sums keep results independent of partition order."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+             .alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice")
+                          * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))),
+                    2).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_market_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: fact(orders) ⋈ dims(customer, nation). Both dims are
+    broadcast explicitly — at 100 TB the orders scan never shuffles for
+    this plan; only the final small group-agg does."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+ORACLE_MARKET = """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS order_cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + agg where the predicate is pushed into the parquet scan
+    (PushedFilters in .explain) — nothing but qualifying row groups are
+    read at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 150000.0)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 windowed top-k (markdown_validator.py:186-193 analog): rank
+    orders per customer, keep top 3. One shuffle on the partition key;
+    deterministic tie-break on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# --- events: time windows, sessionization, top-k ------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 tumbling-window demo as its batch equivalent: per (hour,
+    event_type) counts + exact value sums. In streaming form this is
+    the same plan behind readStream + window(ts, '1 hour')."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+              .cast("double").alias("value_sum"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 running-sum sessionization (ChapterProcessor.process analog):
+    flag a boundary where the gap to the previous event exceeds 30 min,
+    running-sum the flags into session ids, then aggregate. Integer
+    microsecond arithmetic — no float, no truncation ambiguity."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 again on a different shape: top-10 events by value per type
+    (deterministic tie-break on event_id)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("event_type", "event_id", "value", "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
+ORACLE_TOPK_EVENTS = """
+SELECT event_type, event_id, value, rk FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 10
+ORDER BY event_type, rk
+"""
+
+
+# --- documents: per-line/word ops (A1, A3, J1, J3, J2, O5, §2.7, A8) ----
+
+def q_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 line-stats analog (line_processor.py:42-49) over whitespace
+    tokens: per-doc count / avg length / max length. Exact integer sums
+    → double division → round: byte-stable across engines."""
+    w = _words(spark, sf_dir)
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_words"),
+            F.round(F.sum(F.length("word")).cast("double") / F.count("*"), 4)
+             .alias("avg_word_len"),
+            F.max(F.length("word")).alias("max_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WORD_STATS = _WORDS_CTE + """
+SELECT doc_id, COUNT(*) AS total_words,
+       ROUND(CAST(SUM(length(word)) AS DOUBLE) / COUNT(*), 4) AS avg_word_len,
+       MAX(length(word)) AS max_word_len
+FROM words GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pattern-count profile (table_processor.py:54-109 analog):
+    conditional aggregation — one pass, one tiny shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    hit = lambda s: F.sum(
+        F.when(F.col("text").contains(s), 1).otherwise(0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            hit("table").alias("has_table"),
+            hit("join").alias("has_join"),
+            hit("spark").alias("has_spark"),
+            hit("window").alias("has_window"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PATTERN = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END) AS has_table,
+       SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS has_join,
+       SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS has_spark,
+       SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END) AS has_window
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(w,) for w in DICT_WORDS], "dword string")
+
+
+def q_word_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 dictionary membership as a broadcast LEFT SEMI join
+    (word_correction.py:173-176): per doc, how many tokens are known
+    words. The dict side is broadcast — zero shuffle of the big side."""
+    w = _words(spark, sf_dir)
+    d = _dict_df(spark)
+    return (
+        w.join(F.broadcast(d), w.word == d.dword, "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("known_words"),
+             F.countDistinct("word").alias("known_distinct"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SEMI = _WORDS_CTE + f""",
+dict(dword) AS (VALUES {_DICT_VALUES})
+SELECT doc_id, COUNT(*) AS known_words,
+       COUNT(DISTINCT word) AS known_distinct
+FROM words WHERE word IN (SELECT dword FROM dict)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_word_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 unknown-word ANTI join (text_validator.py:81): tokens not in
+    the dictionary, counted per doc. Broadcast anti — same scan shape
+    as J1."""
+    w = _words(spark, sf_dir)
+    d = _dict_df(spark)
+    return (
+        w.join(F.broadcast(d), w.word == d.dword, "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("unknown_words"),
+             F.countDistinct("word").alias("unknown_distinct"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ANTI = _WORDS_CTE + f""",
+dict(dword) AS (VALUES {_DICT_VALUES})
+SELECT doc_id, COUNT(*) AS unknown_words,
+       COUNT(DISTINCT word) AS unknown_distinct
+FROM words WHERE word NOT IN (SELECT dword FROM dict)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_fuzzy_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 fuzzy-correction candidate generation (word_correction.py:
+    160-214): unknown vocabulary × dictionary with the reference's band
+    predicates (shared prefix, |len diff| ≤ 2). Deterministic
+    best pick = lexicographic min (Q7 sorted-order fix). Broadcast
+    nested-loop join on a tiny dim — candidate explosion is bounded by
+    the prefix band, exactly the reference's pruning."""
+    w = _words(spark, sf_dir)
+    d = _dict_df(spark)
+    unknown = (w.join(F.broadcast(d), w.word == d.dword, "left_anti")
+               .select("word").distinct())
+    cand = unknown.join(
+        F.broadcast(d),
+        (F.substring(unknown.word, 1, 1) == F.substring(d.dword, 1, 1))
+        & (F.abs(F.length(unknown.word) - F.length(d.dword)) <= 2)
+        & (unknown.word != d.dword),
+        "inner")
+    return (
+        cand.groupBy("word")
+        .agg(F.count("*").alias("n_candidates"),
+             F.min("dword").alias("best_candidate"))
+        .orderBy("word")
+    )
+
+
+ORACLE_FUZZY = _WORDS_CTE + f""",
+dict(dword) AS (VALUES {_DICT_VALUES}),
+unknown AS (
+  SELECT DISTINCT word FROM words
+  WHERE word NOT IN (SELECT dword FROM dict)
+)
+SELECT word, COUNT(*) AS n_candidates, MIN(dword) AS best_candidate
+FROM unknown JOIN dict
+  ON substr(word, 1, 1) = substr(dword, 1, 1)
+ AND abs(length(word) - length(dword)) <= 2
+ AND word <> dword
+GROUP BY word ORDER BY word
+"""
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 deterministic systematic sampling (text_validator.py:174-199):
+    every 10th token by position — NOT TABLESAMPLE (which is random).
+    posexplode keeps the position; no shuffle until the tiny agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    return (
+        toks.filter((F.col("word") != "") & (F.col("pos") % 10 == 0))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("word").alias("first_alpha"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SAMPLE = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_sampled, MIN(word) AS first_alpha
+FROM toks WHERE word <> '' AND pos % 10 = 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set op (word_correction.py:75 union analog): vocabulary of
+    two sources, UNION DISTINCT, one summary row."""
+    w = _words(spark, sf_dir)
+    a = w.filter(F.col("source") == "src0").select("word")
+    b = w.filter(F.col("source") == "src1").select("word")
+    return (
+        a.union(b).distinct()
+        .agg(F.count("*").alias("vocab_size"),
+             F.min("word").alias("first_word"),
+             F.max("word").alias("last_word"))
+    )
+
+
+ORACLE_UNION = _WORDS_CTE + """
+SELECT COUNT(*) AS vocab_size, MIN(word) AS first_word, MAX(word) AS last_word
+FROM (
+  SELECT word FROM words WHERE source = 'src0'
+  UNION
+  SELECT word FROM words WHERE source = 'src1'
+)
+"""
+
+
+def q_repeated_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 header/footer-repetition analog (text_validator.py:145-157):
+    the leading token of each doc, grouped per source — a 'header' that
+    repeats more than twice within a source is flagged."""
+    docs = _t(spark, sf_dir, "documents")
+    first = docs.select(
+        "source", F.split_part("text", F.lit(" "), F.lit(1)).alias("first_word"))
+    return (
+        first.groupBy("source", "first_word")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 2)
+        .orderBy("source", "first_word")
+    )
+
+
+ORACLE_REPEATED = """
+SELECT source, split_part(text, ' ', 1) AS first_word, COUNT(*) AS n_docs
+FROM documents
+GROUP BY source, split_part(text, ' ', 1)
+HAVING COUNT(*) > 2
+ORDER BY source, first_word
+"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "market_revenue": (q_market_revenue, ORACLE_MARKET),
+    "order_priority": (q_order_priority, ORACLE_PRIORITY),
+    "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS),
+    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE),
+    "topk_events_per_type": (q_topk_events_per_type, ORACLE_TOPK_EVENTS),
+    "doc_word_stats": (q_doc_word_stats, ORACLE_WORD_STATS),
+    "pattern_profile": (q_pattern_profile, ORACLE_PATTERN),
+    "word_semi_join": (q_word_semi_join, ORACLE_SEMI),
+    "word_anti_join": (q_word_anti_join, ORACLE_ANTI),
+    "fuzzy_prefix_candidates": (q_fuzzy_prefix_candidates, ORACLE_FUZZY),
+    "systematic_sample": (q_systematic_sample, ORACLE_SAMPLE),
+    "dict_union": (q_dict_union, ORACLE_UNION),
+    "repeated_first_words": (q_repeated_first_words, ORACLE_REPEATED),
+}

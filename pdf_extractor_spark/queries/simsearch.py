@@ -1,0 +1,220 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two tiers, mirroring how ANN is deployed over web-scale corpora:
+- brute-force cosine top-k — the exact baseline (bounded query set ×
+  full scan; fine when the query side is small and broadcastable);
+- sign-LSH bucketing — axis-aligned hyperplane signs on the leading
+  dims form the bucket key; neighbors are only searched within the
+  bucket, which is the shape that survives 10^9 vectors (bucket join
+  instead of cross join).
+
+All vector math runs JVM-side (zip_with / aggregate / higher-order
+functions) — no Python worker in the loop. Similarities are rounded to
+4 places in both engines before any ordering decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 5      # brute-force query set: vec_id < 5
+TOP_K = 5
+LSH_DIMS = 6       # sign bits of the first 6 dims → 64 buckets
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(b, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_COS_SQL = ("list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: a tiny query set (broadcast) against the full
+    vector scan; row_number under a unique total order picks k. At
+    scale the big side never shuffles — the query side is broadcast."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("e").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_cosine(F.col("qe"), F.col("ce")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_BRUTEFORCE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 4) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+def _bucket_expr_spark(col):
+    """Sign-LSH bucket id: sum of 2^i over leading dims where e[i] > 0."""
+    b = F.lit(0)
+    for i in range(LSH_DIMS):
+        b = b + F.when(col[i] > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return b
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(LSH_DIMS))
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram — evidence the sign-LSH partitioning spreads
+    the corpus (the bucket key is also the shuffle key for the ANN
+    join, so this histogram IS the skew check)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.withColumn("bucket", _bucket_expr_spark(F.col("e")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"),
+             F.min("vec_id").alias("min_vec_id"),
+             F.max("vec_id").alias("max_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_BUCKETS = f"""
+SELECT ({_BUCKET_SQL}) AS bucket, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM embeddings GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: neighbors only within the query's sign-LSH bucket
+    — the join is keyed on bucket (equi-join, shuffle-partitionable),
+    never all-pairs. Recall is approximate by construction; that is
+    the documented trade against the exact baseline above."""
+    emb = _emb(spark, sf_dir) \
+        .withColumn("bucket", _bucket_expr_spark(F.col("e")))
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("e").alias("ce"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_cosine(F.col("qe"), F.col("ce")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+         ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 4) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 50
+)
+SELECT query_id, bucket, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+ORDER BY query_id, rk
+"""
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization step: per-label centroid (the
+    'inverted file' list heads), then each vector's cosine to its own
+    centroid. Centroids are a tiny aggregate → broadcast back; this is
+    the exact shape of an IVF assignment pass at scale."""
+    emb = _emb(spark, sf_dir)
+    dims = 64
+    cent = emb.groupBy("label").agg(*[
+        F.round(F.avg(F.col("e")[i]), 8).alias(f"c{i}") for i in range(dims)
+    ])
+    cent = cent.select(
+        "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
+    joined = emb.join(F.broadcast(cent), "label") \
+        .withColumn("cos_to_centroid",
+                    F.round(_cosine(F.col("e"), F.col("ce")), 4))
+    return (
+        joined.groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             F.round(F.sum("cos_to_centroid"), 4).alias("sum_cos"),
+             F.round(F.min("cos_to_centroid"), 4).alias("min_cos"),
+             F.round(F.max("cos_to_centroid"), 4).alias("max_cos"))
+        .orderBy("label")
+    )
+
+
+_AVG_LIST = ", ".join(
+    f"ROUND(AVG(embedding[{i + 1}]), 8) AS c{i}" for i in range(64))
+_CENT_LIST = "[" + ", ".join(f"c{i}" for i in range(64)) + "]"
+
+ORACLE_CENTROID = f"""
+WITH cent AS (
+  SELECT label, {_AVG_LIST} FROM embeddings GROUP BY label
+), cent_arr AS (
+  SELECT label, {_CENT_LIST}::DOUBLE[] AS ce FROM cent
+), scored AS (
+  SELECT e.label,
+         ROUND({_COS_SQL.format(a='e.embedding', b='c.ce')}, 4) AS cos_to_centroid
+  FROM embeddings e JOIN cent_arr c ON e.label = c.label
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(SUM(cos_to_centroid), 4) AS sum_cos,
+       ROUND(MIN(cos_to_centroid), 4) AS min_cos,
+       ROUND(MAX(cos_to_centroid), 4) AS max_cos
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_BRUTEFORCE),
+    "lsh_buckets": (q_lsh_buckets, ORACLE_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_LSH_TOPK),
+    "label_centroid_sim": (q_label_centroid_sim, ORACLE_CENTROID),
+}

@@ -1,0 +1,199 @@
+"""Text-analysis operators for the training-data pipeline surface:
+language ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All JVM-side builtins, all oracle-checked.
+
+These are the per-document scoring passes a 100 TB corpus runs between
+extraction and dedup — each is a narrow projection over `documents`
+(column pruning reaches the parquet scan) followed by at most one tiny
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of"],
+    "fr": ["le", "la", "et", "un"],
+    "es": ["el", "los", "y", "una"],
+    "de": ["der", "die", "und", "ein"],
+}
+LANG_ORDER = ["en", "fr", "es", "de"]  # deterministic argmax tie-break
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != ""))
+
+
+_WORDS_CTE = ("WITH words AS (SELECT doc_id, word FROM ("
+              "SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+              "FROM documents) WHERE word <> '')")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID: per-language stopword hit counts in
+    one conditional-aggregation pass, deterministic argmax (ties break
+    in LANG_ORDER). One scan, one shuffle on doc_id."""
+    w = _words(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.col("word").isin(STOPWORDS[lang]), 1).otherwise(0))
+         .alias(f"hits_{lang}")
+        for lang in LANG_ORDER
+    ]
+    scored = w.groupBy("doc_id").agg(F.count("*").alias("n_words"), *aggs)
+    pred = None
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANG_ORDER])
+    for lang in LANG_ORDER:  # first language reaching the max wins
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .select("doc_id", "n_words",
+                *[f"hits_{lg}" for lg in LANG_ORDER], "predicted_lang")
+        .orderBy("doc_id")
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"SUM(CASE WHEN word IN ({in_list}) THEN 1 ELSE 0 END) "
+            f"AS hits_{lang}")
+
+
+ORACLE_LANG = _WORDS_CTE + f""",
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         {_hits_sql('en')}, {_hits_sql('fr')},
+         {_hits_sql('es')}, {_hits_sql('de')}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, n_words, hits_en, hits_fr, hits_es, hits_de,
+       CASE WHEN hits_en >= greatest(hits_fr, hits_es, hits_de) THEN 'en'
+            WHEN hits_fr >= greatest(hits_es, hits_de) THEN 'fr'
+            WHEN hits_es >= hits_de THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / word-shape signals
+    folded into one bounded score. All ratios derive from exact integer
+    counts, divided in double, rounded to 4 — byte-stable."""
+    w = _words(spark, sf_dir)
+    en = STOPWORDS["en"]
+    per_doc = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).alias("sum_len"),
+        F.sum(F.when(F.col("word").isin(en), 1).otherwise(0)).alias("n_stop"),
+    )
+    n_words_d = F.col("n_words").cast("double")
+    stop_ratio = F.col("n_stop") / n_words_d
+    mean_wl = F.col("sum_len") / n_words_d
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words_d / F.lit(50.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+        + F.lit(0.3) * F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.abs(mean_wl - F.lit(5.0)) / F.lit(5.0))
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_words",
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(score, 4).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+ORACLE_QUALITY = _WORDS_CTE + f""",
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(length(word)) AS sum_len,
+         SUM(CASE WHEN word IN ({_EN_LIST}) THEN 1 ELSE 0 END) AS n_stop
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       ROUND(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
+       ROUND(sum_len / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+       ROUND(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
+             + 0.3 * least(1.0, (n_stop / CAST(n_words AS DOUBLE)) * 5.0)
+             + 0.3 * greatest(0.0, 1.0 - abs(sum_len / CAST(n_words AS DOUBLE)
+                                             - 5.0) / 5.0),
+             4) AS quality
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish bound (each
+    word contributes ceil(len/4) subword units) — the pre-training
+    budget estimator, one narrow projection per doc."""
+    w = _words(spark, sf_dir)
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.sum(F.ceil(F.length("word") / F.lit(4.0)).cast("long"))
+             .alias("bpe_tokens"),
+            F.countDistinct("word").alias("distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKENS = _WORDS_CTE + """
+SELECT doc_id, COUNT(*) AS ws_tokens,
+       SUM(CAST(CEIL(length(word) / 4.0) AS BIGINT)) AS bpe_tokens,
+       COUNT(DISTINCT word) AS distinct_tokens
+FROM words GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5 of text) plus
+    an order-insensitive vocabulary hash (md5 over the sorted distinct
+    token list) — the pair of keys a layered dedup uses (exact first,
+    bag-of-words second)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = _words(spark, sf_dir)
+    vocab = (
+        w.groupBy("doc_id")
+        .agg(F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("word"))))
+             .alias("vocab_hash")))
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"),
+                    F.length("text").alias("n_chars"))
+        .join(vocab, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = _WORDS_CTE + """,
+vocab AS (
+  SELECT doc_id,
+         md5(string_agg(DISTINCT word, ' ' ORDER BY word)) AS vocab_hash
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS content_hash, length(d.text) AS n_chars,
+       v.vocab_hash
+FROM documents d JOIN vocab v ON d.doc_id = v.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": (q_lang_id, ORACLE_LANG),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "token_count": (q_token_count, ORACLE_TOKENS),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+}

@@ -1,0 +1,100 @@
+"""Bench harness: headline extraction throughput + per-query seconds.
+
+Prints ONE JSON line to stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "extraction": {"docs": N, "sec": s, "docs_per_sec": r}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS  synthetic pages for the extraction bench
+                          (default 4000)
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdf_extractor_spark import queries as qreg
+    from pdf_extractor_spark.pipeline.extract import (extract_pages,
+                                                      repartition_salted)
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.pages import synth_pages_df
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    total_t0 = time.time()
+
+    # --- extraction headline: fused pipeline over a materialized pages
+    # table (parquet scan → mapInPandas), mirroring the WARC-table shape.
+    # Corpus generation is cached and NOT part of the timed window.
+    pages_path = f"/tmp/bench_pages_{n_docs}"
+    if not os.path.exists(pages_path):
+        log(f"materializing {n_docs} synthetic pages → {pages_path}")
+        synth_pages_df(spark, n=n_docs).write.mode("overwrite") \
+            .parquet(pages_path)
+    pages_src = spark.read.parquet(pages_path)
+
+    log(f"extraction bench: {n_docs} docs on local[{cpus}]")
+    warm = extract_pages(pages_src.limit(200), levels=("raw",))
+    warm.filter("failure_reason is null").count()  # warm JVM + Arrow path
+
+    pages = repartition_salted(pages_src, cpus * 2)
+    t0 = time.time()
+    extracted = extract_pages(pages, levels=("raw",))
+    ok = extracted.filter("failure_reason is null").count()
+    ex_sec = time.time() - t0
+    log(f"extraction: {ok}/{n_docs} ok in {ex_sec:.1f}s "
+        f"({n_docs / ex_sec:.0f} docs/s)")
+
+    # --- per-query timings at sf_dir ------------------------------------
+    timings = {}
+    for name, fn in qreg.queries().items():
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            log(f"query {name}: {n} rows in {timings[name]}s")
+        except Exception as exc:
+            timings[name] = -1.0
+            log(f"query {name}: FAILED {exc}")
+
+    total = round(time.time() - total_t0, 3)
+    result = {
+        "metric": "bench suite wall seconds (extraction headline + "
+                  "all registry queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            "docs": n_docs,
+            "sec": round(ex_sec, 3),
+            "docs_per_sec": round(n_docs / ex_sec, 1),
+            "ok": ok,
+        },
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -306,11 +306,11 @@ SELECT doc_id, simhash FROM simhashes ORDER BY doc_id
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 50 closest pairs by Hamming distance
-    (bit_count of XOR). The all-pairs join is acceptable at the
-    driver's 500-doc check; the scale path is prefix-bucketing the
-    simhash (same trick as LSH bands) — demonstrated by grouping on
-    the top byte first."""
-    sh = q_simhash_signatures(spark, sf_dir)
+    (bit_count of XOR). The all-pairs join is the exact baseline and
+    is explicitly BOUNDED to the first 1000 docs (ids are dense) so
+    its cost is scale-independent; the scale path for the full corpus
+    is prefix-bucketing the simhash (same trick as LSH bands)."""
+    sh = q_simhash_signatures(spark, sf_dir).filter(F.col("doc_id") < 1000)
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"),
@@ -328,6 +328,7 @@ WITH {_SIMHASH_SQL}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY hamming, doc_a, doc_b LIMIT 50
 """
 
@@ -346,10 +347,12 @@ def _cosine(col_a, col_b):
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 pairs by cosine similarity, computed
-    JVM-side with zip_with/aggregate (no Python). All-pairs is the
-    driver-scale baseline; `ann_lsh_topk` is the bucketed scale path."""
-    emb = _t(spark, sf_dir, "embeddings") \
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    JVM-side with zip_with/aggregate (no Python). The all-pairs
+    baseline is BOUNDED to the first 1000 vectors (scale-independent
+    cost); `ann_lsh_topk` is the bucketed path for the full corpus."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 1000)
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("e")))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     pairs = (
@@ -367,6 +370,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
              4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 1000 AND b.vec_id < 1000
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 """
 

@@ -493,6 +493,63 @@ ORDER BY source, first_word
 """
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 JSON-source mapping (file_handler.py:46-58 analog): parse the
+    props JSON column in place (get_json_object stays JVM-side) and
+    aggregate the extracted field."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("k").alias("k_sum"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP totals over (nation, mktsegment) — grouping-sets breadth
+    beyond the reference (which has no multi-level aggregation). Same
+    broadcast-dim join shape as q_market_revenue; the rollup adds only
+    map-side re-aggregation, no extra scan."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").alias("revenue"))
+        .orderBy(F.asc_nulls_last("n_name"), F.asc_nulls_last("c_mktsegment"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT n_name, c_mktsegment, COUNT(*) AS order_cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+ORDER BY n_name NULLS LAST, c_mktsegment NULLS LAST
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "market_revenue": (q_market_revenue, ORACLE_MARKET),
@@ -509,4 +566,6 @@ QUERIES = {
     "systematic_sample": (q_systematic_sample, ORACLE_SAMPLE),
     "dict_union": (q_dict_union, ORACLE_UNION),
     "repeated_first_words": (q_repeated_first_words, ORACLE_REPEATED),
+    "events_props_json": (q_events_props_json, ORACLE_PROPS_JSON),
+    "revenue_rollup": (q_revenue_rollup, ORACLE_ROLLUP),
 }

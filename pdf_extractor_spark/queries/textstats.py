@@ -86,8 +86,10 @@ FROM scored ORDER BY doc_id
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-ratio / word-shape signals
-    folded into one bounded score. All ratios derive from exact integer
-    counts, divided in double, rounded to 4 — byte-stable."""
+    folded into one bounded basis-points score (0..10000). The score is
+    PURE INTEGER arithmetic (integer division) — no float rounding ties
+    can ever diverge between engines; component weights: 4000 length,
+    3000 stopword density, 3000 word-shape."""
     w = _words(spark, sf_dir)
     en = STOPWORDS["en"]
     per_doc = w.groupBy("doc_id").agg(
@@ -95,22 +97,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("word")).alias("sum_len"),
         F.sum(F.when(F.col("word").isin(en), 1).otherwise(0)).alias("n_stop"),
     )
-    n_words_d = F.col("n_words").cast("double")
-    stop_ratio = F.col("n_stop") / n_words_d
-    mean_wl = F.col("sum_len") / n_words_d
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_words_d / F.lit(50.0))
-        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
-        + F.lit(0.3) * F.greatest(
-            F.lit(0.0),
-            F.lit(1.0) - F.abs(mean_wl - F.lit(5.0)) / F.lit(5.0))
-    )
+    n, s, L = F.col("n_words"), F.col("n_stop"), F.col("sum_len")
+    c_len = F.lit(80) * F.least(n, F.lit(50))
+    c_stop = F.least(F.lit(3000), F.expr("(15000 * n_stop) div n_words"))
+    c_shape = F.lit(3000) - F.least(
+        F.lit(3000),
+        F.expr("(3000 * abs(sum_len - 5 * n_words)) div (5 * n_words)"))
     return (
         per_doc.select(
             "doc_id", "n_words",
-            F.round(stop_ratio, 4).alias("stopword_ratio"),
-            F.round(mean_wl, 4).alias("mean_word_len"),
-            F.round(score, 4).alias("quality"))
+            F.round(s / n.cast("double"), 4).alias("stopword_ratio"),
+            F.round(L / n.cast("double"), 4).alias("mean_word_len"),
+            (c_len + c_stop + c_shape).cast("long").alias("quality_bp"))
         .orderBy("doc_id")
     )
 
@@ -125,11 +123,11 @@ per_doc AS (
 SELECT doc_id, n_words,
        ROUND(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
        ROUND(sum_len / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
-       ROUND(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 50.0)
-             + 0.3 * least(1.0, (n_stop / CAST(n_words AS DOUBLE)) * 5.0)
-             + 0.3 * greatest(0.0, 1.0 - abs(sum_len / CAST(n_words AS DOUBLE)
-                                             - 5.0) / 5.0),
-             4) AS quality
+       CAST(80 * least(n_words, 50)
+            + least(3000, (15000 * n_stop) // n_words)
+            + 3000 - least(3000, (3000 * abs(sum_len - 5 * n_words))
+                                 // (5 * n_words))
+            AS BIGINT) AS quality_bp
 FROM per_doc ORDER BY doc_id
 """
 

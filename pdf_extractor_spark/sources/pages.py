@@ -212,5 +212,9 @@ def _records_for_ids(ids, seed: int, skew_frac: float) -> List[Dict]:
 
 def write_pages_parquet(path: str, n: int, seed: int = 42,
                         skew_frac: float = 0.3) -> None:
-    """Materialize the corpus to parquet (bench/fixture input)."""
-    synth_pages_pandas(n, seed, skew_frac).to_parquet(path, index=False)
+    """Materialize the corpus to parquet (bench/fixture input).
+    Timestamps coerced to microseconds — Spark rejects TIMESTAMP(NANOS).
+    """
+    synth_pages_pandas(n, seed, skew_frac).to_parquet(
+        path, index=False, coerce_timestamps="us",
+        allow_truncated_timestamps=True)

@@ -1,0 +1,90 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is batch-only; the north rule adds stream-shaped
+requirements. Two entry points:
+
+- ``streaming_event_counts``: the canonical readStream → watermark →
+  tumbling-window aggregation; in batch mode the same plan is
+  ``q_events_hourly`` (which is the DuckDB-checked twin).
+- ``streaming_extract``: the extraction pipeline as a stream — the
+  same fused mapInPandas stage applied to a streaming pages source
+  via ``foreachBatch``, each micro-batch writing through the lineage
+  path. This is how the checkpoint-resumable batch loop in
+  pipeline/lineage.py generalizes when the source is a live feed
+  rather than snapshot partitions.
+
+At 100 TB the streaming posture matters for the *tail* of a crawl
+(continuous ingest after the bulk backfill); watermarking bounds state
+for the windowed stats, and foreachBatch gives exactly-once sink
+semantics on top of idempotent per-batch overwrites.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.extract import extract_pages
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def streaming_event_counts(spark: SparkSession, source_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """readStream(parquet) → watermark → tumbling window counts.
+
+    Late rows beyond the watermark are dropped; state is bounded by
+    (watermark / window) per event_type — O(1) per key, which is what
+    lets the agg run indefinitely on a live feed.
+    """
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("window_start"),
+                "event_type", "n_events", "value_sum")
+    )
+
+
+PAGES_STREAM_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                       "text string, lang string")
+
+
+def streaming_extract(spark: SparkSession, source_dir: str,
+                      checkpoint_dir: str, out_dir: str,
+                      levels=("raw",),
+                      on_batch: Optional[Callable[[DataFrame, int], None]]
+                      = None):
+    """Extraction as a stream: each micro-batch runs the SAME fused
+    pipeline and lands as an idempotent parquet write (foreachBatch +
+    checkpointLocation = exactly-once across restarts).
+
+    Returns the StreamingQuery; caller awaits/stops it.
+    """
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_pages(batch_df, levels=levels)
+        (extracted.filter(F.col("failure_reason").isNull())
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+        if on_batch is not None:
+            on_batch(extracted, batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

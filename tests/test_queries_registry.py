@@ -1,0 +1,63 @@
+"""Driver-contract surface: registry sanity + oracle parity on a fast
+subset at sf0.001 (the full 26-query sweep runs via
+tools/check_oracles.py at sf0.01 — this keeps pytest quick)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_oracles import TABLES, value_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast, shape-diverse subset: agg, window, sessionize, joins, dedup,
+# similarity, text stats, multimodal
+SUBSET = [
+    "pricing_summary", "events_sessionize", "top_orders_per_customer",
+    "word_semi_join", "dedup_exact", "minhash_signatures",
+    "simhash_signatures", "lsh_buckets", "quality_score",
+    "multimodal_decode",
+]
+
+
+def test_registry_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 25
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracles without queries: {missing}"
+    # only the fused-extraction pipeline may be rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"extract_docs_stats"}
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"lang", "docs", "failures"} <= set(df.columns)
+    assert sum(r.failures for r in rows) == 0
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.execute(sql)
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)

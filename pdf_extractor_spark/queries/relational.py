@@ -493,6 +493,116 @@ ORDER BY source, first_word
 """
 
 
+def q_source_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 two-level aggregation (chapter_processor.py:168-177 analog):
+    per-doc word counts, then per-source averages — partial+final
+    hash-agg at both levels, the canonical Spark re-aggregation."""
+    w = _words(spark, sf_dir)
+    per_doc = w.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_words"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_words").alias("total_words"),
+             F.round(F.sum("n_words").cast("double") / F.count("*"), 4)
+              .alias("avg_words_per_doc"),
+             F.max("n_words").alias("max_words"))
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_STATS = _WORDS_CTE + """,
+per_doc AS (
+  SELECT source, doc_id, COUNT(*) AS n_words
+  FROM words GROUP BY source, doc_id
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+       ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_words_per_doc,
+       MAX(n_words) AS max_words
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 text metrics (text_validator.py:95-104): word count, avg word
+    length, distinct characters per doc. The char-distinct runs on the
+    exploded character stream — still JVM-side, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = (docs.select("doc_id",
+                         F.explode(F.split("text", "")).alias("ch"))
+             .filter(F.col("ch") != ""))
+    uc = chars.groupBy("doc_id").agg(
+        F.countDistinct("ch").alias("unique_chars"))
+    w = _words(spark, sf_dir)
+    wm = w.groupBy("doc_id").agg(
+        F.count("*").alias("word_count"),
+        F.round(F.sum(F.length("word")).cast("double") / F.count("*"), 4)
+         .alias("avg_word_length"))
+    return wm.join(uc, "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_METRICS = _WORDS_CTE + """,
+chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), uc AS (
+  SELECT doc_id, COUNT(DISTINCT ch) AS unique_chars
+  FROM chars WHERE ch <> '' GROUP BY doc_id
+), wm AS (
+  SELECT doc_id, COUNT(*) AS word_count,
+         ROUND(CAST(SUM(length(word)) AS DOUBLE) / COUNT(*), 4)
+           AS avg_word_length
+  FROM words GROUP BY doc_id
+)
+SELECT wm.doc_id, wm.word_count, wm.avg_word_length, uc.unique_chars
+FROM wm JOIN uc ON wm.doc_id = uc.doc_id ORDER BY wm.doc_id
+"""
+
+
+def q_sentence_merge_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/P9 continuation-merge predicate (chapter_processor.py:342-361)
+    as a lag window: a sentence fragment should merge into its
+    predecessor when it starts lowercase. Counted per doc — the flag
+    column is exactly what the pairwise-merge fold consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("pos", "sent"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    first_ch = F.ascii(F.substring("sent", 1, 1))
+    flagged = (sents.filter(F.col("sent") != "")
+               .withColumn("prev", F.lag("sent").over(w))
+               .withColumn(
+                   "should_merge",
+                   F.when(F.col("prev").isNotNull()
+                          & (first_ch >= 97) & (first_ch <= 122), 1)
+                   .otherwise(0)))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sentences"),
+             F.sum("should_merge").alias("n_merges"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MERGE_FLAGS = """
+WITH sents AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, '. '), 1) AS pos,
+         unnest(string_split(text, '. ')) AS sent
+  FROM documents
+), flagged AS (
+  SELECT doc_id, sent,
+         CASE WHEN lag(sent) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NOT NULL
+               AND ascii(substr(sent, 1, 1)) BETWEEN 97 AND 122
+              THEN 1 ELSE 0 END AS should_merge
+  FROM sents WHERE sent <> ''
+)
+SELECT doc_id, COUNT(*) AS n_sentences, SUM(should_merge) AS n_merges
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 JSON-source mapping (file_handler.py:46-58 analog): parse the
     props JSON column in place (get_json_object stays JVM-side) and
@@ -568,4 +678,7 @@ QUERIES = {
     "repeated_first_words": (q_repeated_first_words, ORACLE_REPEATED),
     "events_props_json": (q_events_props_json, ORACLE_PROPS_JSON),
     "revenue_rollup": (q_revenue_rollup, ORACLE_ROLLUP),
+    "source_doc_stats": (q_source_doc_stats, ORACLE_SOURCE_STATS),
+    "text_metrics": (q_text_metrics, ORACLE_TEXT_METRICS),
+    "sentence_merge_flags": (q_sentence_merge_flags, ORACLE_MERGE_FLAGS),
 }

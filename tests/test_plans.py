@@ -1,0 +1,125 @@
+"""Physical-plan quality gates (.explain-based).
+
+At 100 TB the *plan* is the product: these tests pin the properties
+that make each query scale — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for dimensions, partial (map-side)
+aggregation, and a shuffle-free fused extraction stage. A regression
+that silently turns a broadcast join into a sort-merge join or drops a
+pushed filter fails here, not in a 1000-executor postmortem.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.pipeline.extract import extract_pages
+from pdf_extractor_spark.queries import dedup, relational, simsearch
+from pdf_extractor_spark.sources.pages import synth_pages_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def nodes(plan: str, name: str) -> int:
+    """Count physical nodes in the details section — each appears once
+    as '(N) NodeName' (the tree section would double-count)."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_scan(self, spark):
+        plan = plan_of(relational.q_order_priority(spark, SF_DIR))
+        assert "PushedFilters" in plan
+        assert re.search(r"PushedFilters: \[.*GreaterThan\(o_totalprice",
+                         plan), plan
+
+    def test_column_pruning_reads_only_needed(self, spark):
+        plan = plan_of(relational.q_order_priority(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"o_orderpriority", "o_totalprice"}, cols
+
+    def test_shipdate_filter_pushed(self, spark):
+        plan = plan_of(relational.q_pricing_summary(spark, SF_DIR))
+        assert "PushedFilters" in plan and "l_shipdate" in plan
+
+    def test_docs_scan_prunes_text_stats(self, spark):
+        # doc_word_stats needs only doc_id + text, not lang/source/n_chars
+        plan = plan_of(relational.q_doc_word_stats(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+
+
+class TestJoinStrategies:
+    def test_dims_broadcast(self, spark):
+        plan = plan_of(relational.q_market_revenue(spark, SF_DIR))
+        assert nodes(plan, "BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_semi_and_anti_broadcast(self, spark):
+        semi = plan_of(relational.q_word_semi_join(spark, SF_DIR))
+        anti = plan_of(relational.q_word_anti_join(spark, SF_DIR))
+        assert "BroadcastHashJoin" in semi and "LeftSemi" in semi
+        assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+
+    def test_ann_query_side_broadcast(self, spark):
+        plan = plan_of(simsearch.q_ann_bruteforce_topk(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or \
+               "BroadcastHashJoin" in plan
+
+    def test_lsh_band_join_is_equi(self, spark):
+        # the LSH candidate join must be a hash-partitionable equi-join
+        # (keyed on band/band_key), never a nested loop over all pairs
+        plan = plan_of(dedup.q_dedup_minhash_lsh(spark, SF_DIR))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan, plan
+        assert "NestedLoop" not in plan.replace(
+            "BroadcastNestedLoopJoin", "") , plan
+
+
+class TestAggregation:
+    def test_partial_aggregation(self, spark):
+        # map-side combine: partial + final HashAggregate pairs
+        plan = plan_of(relational.q_pricing_summary(spark, SF_DIR))
+        assert nodes(plan, "HashAggregate") >= 2
+        assert "partial_" in plan.lower() or "merge_" in plan.lower()
+
+    def test_single_shuffle_for_groupby(self, spark):
+        plan = plan_of(relational.q_pattern_profile(spark, SF_DIR))
+        # one shuffle for the groupBy, one for the final orderBy — no more
+        assert nodes(plan, "Exchange") <= 2, plan
+
+
+class TestExtractionStage:
+    def test_fused_single_python_stage(self, spark):
+        pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text", "lang").limit(8)
+        df = extract_pages(pages,
+                           levels=("raw", "lines", "chapters",
+                                   "processed", "markdown"))
+        plan = plan_of(df)
+        # all five levels run in exactly ONE Arrow crossing
+        assert nodes(plan, "MapInPandas") == 1, plan
+
+    def test_no_shuffle_in_extraction(self, spark):
+        df = extract_pages(synth_pages_df(spark, n=8))
+        plan = plan_of(df)
+        assert nodes(plan, "Exchange") == 0, plan
+
+    def test_stats_rollup_is_partial_agg(self, spark):
+        from pdf_extractor_spark.pipeline.extract import extraction_stats
+        df = extraction_stats(extract_pages(synth_pages_df(spark, n=8)))
+        plan = plan_of(df)
+        # generation stage + extraction stage, still fused: no extra crossing
+        assert nodes(plan, "MapInPandas") == 2
+        assert nodes(plan, "HashAggregate") >= 2  # partial + final

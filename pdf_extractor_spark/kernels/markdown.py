@@ -38,6 +38,10 @@ _RUN_TOGETHER_WORDS = [
     "and", "the", "you", "your", "with", "that", "this", "from", "they",
     "have", "what", "were", "when", "will", "whom", "their",
 ]
+# Precompiled per-word split patterns (application order preserved).
+_RUN_TOGETHER_PATS = [(re.compile(rf"\b{w}([a-z])"), f"{w} \\1")
+                      for w in _RUN_TOGETHER_WORDS]
+_WS_ANY = re.compile(r"\s+")
 
 
 def create_anchor(text: str) -> str:
@@ -86,7 +90,7 @@ def clean_content_text(text: str) -> str:
             break
         full = m.group(0)
         if len(full) >= 5 and all(len(c) == 1 for c in full.split() if c.isalpha()):
-            cur = cur.replace(full, re.sub(r"\s+", "", full))
+            cur = cur.replace(full, _WS_ANY.sub("", full))
         else:
             break
 
@@ -99,8 +103,8 @@ def clean_content_text(text: str) -> str:
             start, end = m.span()
             cur = cur[:start] + prefix + suffix + cur[end:]
 
-    for word in _RUN_TOGETHER_WORDS:
-        cur = re.sub(rf"\b{word}([a-z])", f"{word} \\1", cur)
+    for pat, repl in _RUN_TOGETHER_PATS:
+        cur = pat.sub(repl, cur)
 
     return _WS2.sub(" ", cur).strip()
 

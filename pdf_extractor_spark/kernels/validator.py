@@ -14,6 +14,7 @@ Determinism deltas, both documented in SURVEY.md:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Dict, List, Optional
 
 from .wordcorr import (
@@ -28,6 +29,14 @@ MAX_UNKNOWN_CHECKED = 10  # text_validator.py:85
 
 _NON_WORD = re.compile(r"[^\w\s]")
 
+# Prefix-2 index over the sorted common words (same pruning as
+# wordcorr._PREFIX_BUCKETS; bucket order inherits the Q7 sorted order).
+_COMMON_PREFIX: Dict[str, tuple] = {}
+for _w in SORTED_COMMON_WORDS:
+    _COMMON_PREFIX.setdefault(_w[:2], [])  # type: ignore[arg-type]
+    _COMMON_PREFIX[_w[:2]].append(_w)      # type: ignore[attr-defined]
+_COMMON_PREFIX = {k: tuple(v) for k, v in _COMMON_PREFIX.items()}
+
 
 def simple_tokenize(text: str) -> List[str]:
     """Lowercase, strip punctuation, whitespace split (text_validator.py:35-41)."""
@@ -35,14 +44,16 @@ def simple_tokenize(text: str) -> List[str]:
     return [w for w in text.split() if w]
 
 
+@lru_cache(maxsize=65536)
 def simple_suggestion(word: str) -> Optional[str]:
     """First common word sharing a 2-char prefix with |len diff|<=2
     (J4, text_validator.py:112-124) — sorted scan for determinism (Q7).
+    Memoized pure function; prefix-2 bucket skips the full dictionary.
     """
     if len(word) <= 3:
         return None
-    for cand in SORTED_COMMON_WORDS:
-        if cand.startswith(word[:2]) and abs(len(cand) - len(word)) <= 2:
+    for cand in _COMMON_PREFIX.get(word[:2], ()):
+        if abs(len(cand) - len(word)) <= 2:
             return cand
     return None
 

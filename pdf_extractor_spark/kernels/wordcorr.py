@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import difflib
 import re
+from functools import lru_cache
 from typing import Dict, Optional, Set, Tuple
 
 # Base common-English set (word_correction.py:105-117).
@@ -81,13 +82,25 @@ MIN_CONFIDENCE = 0.7
 MAX_EDIT_DISTANCE = 2
 _WORD_RE = re.compile(r"\b(\w+)\b")
 
+# Prefix-2 candidate index — the reference's own pruning
+# (word_correction.py:191-195) materialized once (SURVEY.md §4). Buckets
+# inherit the global sorted order, so Q7 determinism is unchanged.
+_PREFIX_BUCKETS: Dict[str, Tuple[str, ...]] = {}
+for _w in SORTED_VALID_WORDS:
+    _PREFIX_BUCKETS.setdefault(_w[:2], [])  # type: ignore[arg-type]
+    _PREFIX_BUCKETS[_w[:2]].append(_w)      # type: ignore[attr-defined]
+_PREFIX_BUCKETS = {k: tuple(v) for k, v in _PREFIX_BUCKETS.items()}
 
+
+@lru_cache(maxsize=65536)
 def correct_word(word: str) -> Tuple[str, float]:
     """Single-word correction (J2, word_correction.py:160-214).
 
     Dictionary hit → identity; OCR pattern hit → 0.95; else a banded
     broadcast-style scan (prefix-2 + |len diff|<=2 filters, difflib ratio
     > 0.8, best >= 0.7) over the **sorted** dictionary (Q7 fix).
+    Memoized — a pure word→correction function, and real corpora repeat
+    words heavily.
     """
     if not word or len(word) < MIN_WORD_LENGTH:
         return word, 1.0
@@ -100,13 +113,12 @@ def correct_word(word: str) -> Tuple[str, float]:
 
     if 3 <= len(word) <= 20:
         best: Optional[Tuple[str, float]] = None
-        for cand in SORTED_VALID_WORDS:
+        for cand in _PREFIX_BUCKETS.get(lower[:2], ()):
             if abs(len(cand) - len(word)) > MAX_EDIT_DISTANCE:
                 continue
-            if cand[:2] == lower[:2]:
-                ratio = difflib.SequenceMatcher(None, lower, cand).ratio()
-                if ratio > 0.8 and (best is None or ratio > best[1]):
-                    best = (cand, ratio)
+            ratio = difflib.SequenceMatcher(None, lower, cand).ratio()
+            if ratio > 0.8 and (best is None or ratio > best[1]):
+                best = (cand, ratio)
         if best and best[1] >= MIN_CONFIDENCE:
             fixed = best[0]
             if word[0].isupper() and fixed[0].islower():

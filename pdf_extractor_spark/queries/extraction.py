@@ -98,7 +98,50 @@ FROM documents ORDER BY doc_id
 """
 
 
+_VALIDATE_SCHEMA = ("doc_id long, valid boolean, n_issues int, "
+                    "total_words int, unknown_words int, "
+                    "was_corrected boolean, first_issue_word string, "
+                    "first_suggestion string")
+
+
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 diagnostics side-output: the kernel validator (correction
+    pass J1/J2, unknown-word anti-join J3, capped suggestion lookups
+    J4 with the Q7 sorted-order determinism fix) over each document,
+    emitted as a per-doc diagnostics row. Kernel semantics — rows-only
+    check; the kernel itself is unit-tested against the reference's
+    documented behavior (text_validator.py:43-124)."""
+    from ..kernels import validator as kval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                r = kval.validate_text(text or "")
+                issues = r.get("issues", [])
+                metrics = r.get("metrics", {})
+                rows.append({
+                    "doc_id": doc_id,
+                    "valid": bool(r.get("valid", True)),
+                    "n_issues": len(issues),
+                    "total_words": int(metrics.get("total_words", 0)),
+                    "unknown_words": int(metrics.get("unknown_words", 0)),
+                    "was_corrected": bool(metrics.get("was_corrected",
+                                                      False)),
+                    "first_issue_word": issues[0]["word"] if issues else None,
+                    "first_suggestion": (issues[0]["suggestion"]
+                                         if issues else None),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, schema=_VALIDATE_SCHEMA).orderBy("doc_id")
+
+
 QUERIES = {
     "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
+    "validation_report": (q_validation_report, None),  # rows-only (kernel)
 }

@@ -26,9 +26,9 @@ def test_registry_shape():
     assert len(qs) >= 25
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
-    # only the fused-extraction pipeline may be rows-only
+    # only kernel-semantics ops (golden/unit-tested, not SQL) are rows-only
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extract_docs_stats"}
+    assert rows_only == {"extract_docs_stats", "validation_report"}
 
 
 def test_entry_smoke(spark):

@@ -333,6 +333,46 @@ ORDER BY hamming, doc_a, doc_b LIMIT 50
 """
 
 
+def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at scale: band-bucket join on the top byte of the
+    signature (same banding trick as MinHash-LSH) — candidate pairs
+    only form inside a bucket, so the join is equi-keyed and
+    shuffle-partitionable at 10^12 docs. Near-dups = hamming ≤ 6
+    within bucket."""
+    sh = q_simhash_signatures(spark, sf_dir) \
+        .withColumn("band", F.expr("simhash div 16777216"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"), "band")
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"), "band")
+    pairs = (
+        a.join(b, ["band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 6))
+    return (
+        pairs.groupBy("band")
+        .agg(F.count("*").alias("n_near_dup_pairs"),
+             F.min("hamming").alias("min_hamming"))
+        .orderBy("band")
+    )
+
+
+ORACLE_SIMHASH_BANDS = f"""
+WITH {_SIMHASH_SQL},
+banded AS (
+  SELECT doc_id, simhash, simhash // 16777216 AS band FROM simhashes
+)
+SELECT a.band, COUNT(*) AS n_near_dup_pairs,
+       MIN(bit_count(xor(a.simhash, b.simhash))) AS min_hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+GROUP BY a.band ORDER BY a.band
+"""
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 def _cosine(col_a, col_b):
@@ -382,5 +422,6 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "simhash_bands": (q_simhash_bands, ORACLE_SIMHASH_BANDS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_EMB_COSINE),
 }

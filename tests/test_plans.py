@@ -84,6 +84,26 @@ class TestJoinStrategies:
             "BroadcastNestedLoopJoin", "") , plan
 
 
+class TestTemporalOps:
+    def test_asof_join_is_pure_window(self, spark):
+        from pdf_extractor_spark.queries import temporal
+        plan = plan_of(temporal.q_events_asof_join(spark, SF_DIR))
+        # the as-of rewrite must compile to a window, never a join
+        assert "Join" not in plan, plan
+        assert nodes(plan, "Window") >= 1, plan
+
+    def test_range_join_is_equi_keyed(self, spark):
+        from pdf_extractor_spark.queries import temporal
+        plan = plan_of(temporal.q_events_range_join(spark, SF_DIR))
+        assert "NestedLoop" not in plan, plan  # bucketed equi-join only
+
+    def test_salted_agg_two_phases(self, spark):
+        from pdf_extractor_spark.queries import temporal
+        plan = plan_of(temporal.q_salted_type_counts(spark, SF_DIR))
+        # (salt,key) partial+final, then key partial+final ⇒ ≥4 nodes
+        assert nodes(plan, "HashAggregate") >= 4, plan
+
+
 class TestAggregation:
     def test_partial_aggregation(self, spark):
         # map-side combine: partial + final HashAggregate pairs

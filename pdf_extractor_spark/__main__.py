@@ -1,0 +1,126 @@
+"""CLI parity with the reference's console entry (src/cli.py:385-424,
+src/__main__.py) — re-shaped for a table-in/table-out engine: instead
+of one PDF at a time, each command runs over a pages/documents table.
+
+  python -m pdf_extractor_spark extract  --input PATH --output PATH
+      [--levels raw,lines,chapters,processed,markdown] [--partitions N]
+  python -m pdf_extractor_spark validate --input PATH --output PATH
+  python -m pdf_extractor_spark synth    --output PATH --docs N
+
+`--input` accepts any parquet with the pages schema
+(url, warc_ts, html, text, lang). Outputs are parquet directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None):
+    from .session import get_spark
+    master = f"local[{cpus}]" if cpus else None
+    return get_spark("pdf-extractor-spark-cli", master=master)
+
+
+def cmd_extract(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .pipeline.extract import extract_pages, repartition_salted
+
+    spark = _spark(args.cpus)
+    pages = spark.read.parquet(args.input)
+    if args.partitions:
+        pages = repartition_salted(pages, args.partitions)
+    levels = tuple(args.levels.split(","))
+    out = extract_pages(pages, levels=levels)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    n = back.count()
+    fails = back.filter(F.col("failure_reason").isNotNull()).count()
+    print(f"extracted {n} docs ({fails} failures) -> {args.output}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    text_col = "text" if "text" in docs.columns else None
+    if text_col is None:
+        print("input has no text column", file=sys.stderr)
+        return 2
+
+    from .kernels import validator as kval
+
+    schema = ("url string, valid boolean, n_issues int, "
+              "total_words int, unknown_words int")
+    key = "url" if "url" in docs.columns else docs.columns[0]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for k, text in zip(batch[key], batch[text_col]):
+                r = kval.validate_text(text or "")
+                m = r.get("metrics", {})
+                rows.append({
+                    "url": str(k), "valid": bool(r.get("valid", True)),
+                    "n_issues": len(r.get("issues", [])),
+                    "total_words": int(m.get("total_words", 0)),
+                    "unknown_words": int(m.get("unknown_words", 0)),
+                })
+            yield pd.DataFrame(rows)
+
+    out = docs.select(key, text_col).mapInPandas(run, schema=schema)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"validated {n} docs -> {args.output}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from .sources.pages import synth_pages_df
+
+    spark = _spark(args.cpus)
+    synth_pages_df(spark, n=args.docs, seed=args.seed,
+                   skew_frac=args.skew).write.mode("overwrite") \
+        .parquet(args.output)
+    print(f"wrote {args.docs} synthetic pages -> {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_extractor_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="pages table -> extracted levels")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--levels", default="raw")
+    p.add_argument("--partitions", type=int, default=0)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("validate", help="text table -> diagnostics table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("synth", help="write a deterministic pages corpus")
+    p.add_argument("--output", required=True)
+    p.add_argument("--docs", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--skew", type=float, default=0.3)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_synth)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

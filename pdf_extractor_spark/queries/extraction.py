@@ -98,6 +98,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame of each
+    'video' payload (every 4th frame), with per-frame typed metadata.
+    The frame decode is the same deterministic stand-in as
+    `multimodal_decode`; the Spark shape — explode over a computed
+    frame index sequence, keyed metadata per frame — is the real
+    pattern a video pipeline runs, and stays fully JVM-side here."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_bytes = F.octet_length(F.encode("text", "utf-8"))
+    n_frames = F.lit(1) + n_bytes % 16
+    frames = docs.select(
+        "doc_id", n_bytes.alias("payload_bytes"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(4)))
+         .alias("frame_no"))
+    return (
+        frames.select(
+            "doc_id", "frame_no",
+            (F.col("frame_no") * 40).alias("ts_ms"),
+            F.pmod(F.col("payload_bytes") * (F.col("frame_no") + 7), 256)
+             .alias("brightness"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+ORACLE_FRAMES = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+         1 + octet_length(encode(text)) % 16 AS n_frames
+  FROM documents
+)
+SELECT doc_id, frame_no, frame_no * 40 AS ts_ms,
+       (payload_bytes * (frame_no + 7)) % 256 AS brightness
+FROM d, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4))
+                 AS frame_no)
+ORDER BY doc_id, frame_no
+"""
+
+
 _VALIDATE_SCHEMA = ("doc_id long, valid boolean, n_issues int, "
                     "total_words int, unknown_words int, "
                     "was_corrected boolean, first_issue_word string, "
@@ -143,5 +181,6 @@ def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_FRAMES),
     "validation_report": (q_validation_report, None),  # rows-only (kernel)
 }

@@ -189,8 +189,65 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (rolling-hash selection): hash every
+    3-token shingle (md5-derived 32-bit int), slide a window of 4
+    consecutive shingle hashes, keep each window's minimum — the
+    selected set is the document's fingerprint (robust to local edits,
+    the standard near-dup/plagiarism fingerprinting scheme). Summary
+    row per doc: fingerprint size + min/max selected hash."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
+            " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+            " split(text,' ')[i+2]))"
+        )).alias("pos", "shingle"))
+    hashed = sh.withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long"))
+    w = (W.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, 3))
+    selected = (hashed.withColumn("win_min", F.min("h").over(w))
+                .select("doc_id", "win_min").distinct())
+    return (
+        selected.groupBy("doc_id")
+        .agg(F.count("*").alias("fp_size"),
+             F.min("win_min").alias("fp_min"),
+             F.max("win_min").alias("fp_max"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WINNOW = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+), hashed AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+), selected AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+  FROM hashed
+)
+SELECT doc_id, COUNT(*) AS fp_size, MIN(win_min) AS fp_min,
+       MAX(win_min) AS fp_max
+FROM selected GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
+    "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "token_count": (q_token_count, ORACLE_TOKENS),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),

@@ -62,8 +62,16 @@ def main() -> int:
     extracted = extract_pages(pages, levels=("raw",))
     ok = extracted.filter("failure_reason is null").count()
     ex_sec = time.time() - t0
-    log(f"extraction: {ok}/{n_docs} ok in {ex_sec:.1f}s "
+    log(f"extraction raw: {ok}/{n_docs} ok in {ex_sec:.1f}s "
         f"({n_docs / ex_sec:.0f} docs/s)")
+
+    t0 = time.time()
+    full = extract_pages(pages, levels=("raw", "lines", "chapters",
+                                        "processed", "markdown"))
+    ok_full = full.filter("failure_reason is null").count()
+    full_sec = time.time() - t0
+    log(f"extraction full chain: {ok_full}/{n_docs} in {full_sec:.1f}s "
+        f"({n_docs / full_sec:.0f} docs/s)")
 
     # --- per-query timings at sf_dir ------------------------------------
     timings = {}
@@ -90,6 +98,8 @@ def main() -> int:
             "sec": round(ex_sec, 3),
             "docs_per_sec": round(n_docs / ex_sec, 1),
             "ok": ok,
+            "full_chain_sec": round(full_sec, 3),
+            "full_chain_docs_per_sec": round(n_docs / full_sec, 1),
         },
     }
     print(json.dumps(result), flush=True)

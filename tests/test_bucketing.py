@@ -1,0 +1,76 @@
+"""Bucketed co-located join: writing both fact tables bucketed on the
+join key lets the sort-merge join run WITHOUT a shuffle — the layout
+technique that turns the biggest join at 100 TB from a full network
+shuffle into a local merge. This test pins that the plan actually
+drops the Exchange nodes when the layout promises co-location."""
+
+import re
+
+import pytest
+
+
+def nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # managed tables land in the session's default warehouse dir
+    # (spark-warehouse/, gitignored); DROP TABLE removes the files
+    sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (spark.read.parquet(f"{sf}/orders.parquet")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("orders_b"))
+    (spark.read.parquet(f"{sf}/lineitem.parquet")
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("lineitem_b"))
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(bucketed):
+    spark = bucketed
+    # disable broadcast so the join strategy decision is about layout
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql("""
+            SELECT o.o_orderkey, COUNT(*) AS n_items
+            FROM orders_b o JOIN lineitem_b l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        """)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        # co-located buckets: NO Exchange feeding the join (the only
+        # permissible exchange would be for the final agg, but the agg
+        # key equals the bucket key so even that one is unnecessary)
+        assert nodes(plan, "Exchange") == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_needs_shuffle(bucketed):
+    spark = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = "/root/testdata/sf0.001"
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        l = spark.read.parquet(f"{sf}/lineitem.parquet")
+        joined = (o.join(l, o.o_orderkey == l.l_orderkey)
+                  .groupBy("o_orderkey").count())
+        plan = plan_of(joined)
+        # the control: without bucketing the same join must shuffle
+        assert nodes(plan, "Exchange") >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

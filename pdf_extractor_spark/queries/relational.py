@@ -493,6 +493,55 @@ ORDER BY source, first_word
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (ordered
+    aggregation — sort-based within each group, map-side partial
+    collection). Rounded before compare; p50/p95/p99 over ~2k rows per
+    group at sf0.01."""
+    events = _t(spark, sf_dir, "events")
+    pct = lambda p: F.round(
+        F.expr(f"percentile(value, {p})"), 4).alias(f"p{int(p * 100)}")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             pct(0.5), pct(0.95), pct(0.99))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all four grouping sets
+    in one pass — completes the grouping-sets family next to
+    revenue_rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").alias("total"))
+        .orderBy(F.asc_nulls_last("o_orderstatus"),
+                 F.asc_nulls_last("o_orderpriority"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
 def q_source_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 two-level aggregation (chapter_processor.py:168-177 analog):
     per-doc word counts, then per-source averages — partial+final
@@ -678,6 +727,8 @@ QUERIES = {
     "repeated_first_words": (q_repeated_first_words, ORACLE_REPEATED),
     "events_props_json": (q_events_props_json, ORACLE_PROPS_JSON),
     "revenue_rollup": (q_revenue_rollup, ORACLE_ROLLUP),
+    "value_percentiles": (q_value_percentiles, ORACLE_PERCENTILES),
+    "status_priority_cube": (q_status_priority_cube, ORACLE_CUBE),
     "source_doc_stats": (q_source_doc_stats, ORACLE_SOURCE_STATS),
     "text_metrics": (q_text_metrics, ORACLE_TEXT_METRICS),
     "sentence_merge_flags": (q_sentence_merge_flags, ORACLE_MERGE_FLAGS),

@@ -198,7 +198,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MINHASH_SIGS = f"""
 WITH {_SIGS_SQL}
-SELECT doc_id, SUM(sig) AS sig_sum, MIN(sig) AS sig_min, MAX(sig) AS sig_max
+SELECT doc_id, CAST(SUM(sig) AS BIGINT) AS sig_sum, MIN(sig) AS sig_min, MAX(sig) AS sig_max
 FROM sigs GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -293,8 +293,8 @@ wc AS (
   GROUP BY doc_id, bit
 ), simhashes AS (
   SELECT doc_id,
-         SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, bit) AS BIGINT)
-                  ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2.0, bit) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )"""
 
@@ -326,7 +326,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_SIMHASH = f"""
 WITH {_SIMHASH_SQL}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
 WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY hamming, doc_a, doc_b LIMIT 50
@@ -365,7 +365,7 @@ banded AS (
   SELECT doc_id, simhash, simhash // 16777216 AS band FROM simhashes
 )
 SELECT a.band, COUNT(*) AS n_near_dup_pairs,
-       MIN(bit_count(xor(a.simhash, b.simhash))) AS min_hamming
+       CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS min_hamming
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6

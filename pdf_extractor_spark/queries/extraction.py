@@ -128,8 +128,9 @@ WITH d AS (
          1 + octet_length(encode(text)) % 16 AS n_frames
   FROM documents
 )
-SELECT doc_id, frame_no, frame_no * 40 AS ts_ms,
-       (payload_bytes * (frame_no + 7)) % 256 AS brightness
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(frame_no * 40 AS INTEGER) AS ts_ms,
+       CAST((payload_bytes * (frame_no + 7)) % 256 AS INTEGER) AS brightness
 FROM d, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4))
                  AS frame_no)
 ORDER BY doc_id, frame_no

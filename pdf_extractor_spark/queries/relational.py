@@ -159,7 +159,7 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOP_ORDERS = """
-SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
@@ -237,7 +237,7 @@ WITH flagged AS (
            AS session_id
   FROM flagged
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -257,7 +257,7 @@ def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOPK_EVENTS = """
-SELECT event_type, event_id, value, rk FROM (
+SELECT event_type, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY value DESC, event_id ASC) AS rk
@@ -289,7 +289,7 @@ def q_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WORD_STATS = _WORDS_CTE + """
 SELECT doc_id, COUNT(*) AS total_words,
        ROUND(CAST(SUM(length(word)) AS DOUBLE) / COUNT(*), 4) AS avg_word_len,
-       MAX(length(word)) AS max_word_len
+       CAST(MAX(length(word)) AS INTEGER) AS max_word_len
 FROM words GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -315,10 +315,10 @@ def q_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PATTERN = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END) AS has_table,
-       SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS has_join,
-       SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS has_spark,
-       SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END) AS has_window
+       SUM(CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END)::BIGINT AS has_table,
+       SUM(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END)::BIGINT AS has_join,
+       SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END)::BIGINT AS has_spark,
+       SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END)::BIGINT AS has_window
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -565,7 +565,7 @@ per_doc AS (
   SELECT source, doc_id, COUNT(*) AS n_words
   FROM words GROUP BY source, doc_id
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,
        ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_words_per_doc,
        MAX(n_words) AS max_words
 FROM per_doc GROUP BY source ORDER BY source
@@ -647,7 +647,7 @@ WITH sents AS (
               THEN 1 ELSE 0 END AS should_merge
   FROM sents WHERE sent <> ''
 )
-SELECT doc_id, COUNT(*) AS n_sentences, SUM(should_merge) AS n_merges
+SELECT doc_id, COUNT(*) AS n_sentences, CAST(SUM(should_merge) AS BIGINT) AS n_merges
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -671,7 +671,7 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROPS_JSON = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type

@@ -78,7 +78,7 @@ WITH scored AS (
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 )
-SELECT query_id, neighbor_id, cos_sim, rk FROM (
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
   FROM scored
@@ -156,7 +156,7 @@ WITH b AS (
   FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < 50
 )
-SELECT query_id, bucket, neighbor_id, cos_sim, rk FROM (
+SELECT query_id, bucket, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
   FROM scored

@@ -64,8 +64,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_sql(lang: str) -> str:
     in_list = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (f"SUM(CASE WHEN word IN ({in_list}) THEN 1 ELSE 0 END) "
-            f"AS hits_{lang}")
+    return (f"CAST(SUM(CASE WHEN word IN ({in_list}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS hits_{lang}")
 
 
 ORACLE_LANG = _WORDS_CTE + f""",
@@ -151,7 +151,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKENS = _WORDS_CTE + """
 SELECT doc_id, COUNT(*) AS ws_tokens,
-       SUM(CAST(CEIL(length(word) / 4.0) AS BIGINT)) AS bpe_tokens,
+       CAST(SUM(CAST(CEIL(length(word) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_tokens,
        COUNT(DISTINCT word) AS distinct_tokens
 FROM words GROUP BY doc_id ORDER BY doc_id
 """
@@ -182,7 +182,8 @@ vocab AS (
          md5(string_agg(DISTINCT word, ' ' ORDER BY word)) AS vocab_hash
   FROM words GROUP BY doc_id
 )
-SELECT d.doc_id, md5(d.text) AS content_hash, length(d.text) AS n_chars,
+SELECT d.doc_id, md5(d.text) AS content_hash,
+       CAST(length(d.text) AS INTEGER) AS n_chars,
        v.vocab_hash
 FROM documents d JOIN vocab v ON d.doc_id = v.doc_id
 ORDER BY d.doc_id

@@ -33,6 +33,38 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
+_SPARK_T = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    "binary": "bin",
+}
+_DUCK_T = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UBIGINT": "u64", "FLOAT": "f32", "DOUBLE": "f64",
+    "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
+    "BLOB": "bin",
+}
+
+
+def type_mismatches(spark_df, duck_desc):
+    """Normalized per-column type families; mismatches flag engine-type
+    drift (e.g. DuckDB HUGEINT sums vs Spark bigint) that a strict
+    driver-side schema compare would reject."""
+    stypes = {f.name: _SPARK_T.get(f.dataType.simpleString(),
+                                   f.dataType.simpleString())
+              for f in spark_df.schema.fields}
+    import duckdb  # typecodes come through the relation description
+    bad = []
+    for name, typ in duck_desc:
+        o = _DUCK_T.get(typ, typ)
+        s = stypes.get(name)
+        if s is not None and s != o and not (
+                s.startswith("decimal") and o.startswith("DECIMAL")):
+            bad.append(f"{name}: spark={s} duckdb={o}")
+    return bad
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -82,8 +114,9 @@ def main() -> int:
                 print(f"      WARNING: zero rows")
             continue
         try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(zip(rel.columns, [str(t) for t in rel.types]))
             orows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
@@ -91,6 +124,9 @@ def main() -> int:
             continue
         srows_t = [tuple(r) for r in srows]
         problems = []
+        tmis = type_mismatches(sdf, otypes)
+        if tmis:
+            problems.append(f"type drift: {tmis}")
         if len(srows_t) != len(orows):
             problems.append(f"rowcount {len(srows_t)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):

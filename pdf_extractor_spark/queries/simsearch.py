@@ -172,8 +172,12 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact shape of an IVF assignment pass at scale."""
     emb = _emb(spark, sf_dir)
     dims = 64
+    # exact decimal sums → the centroid is independent of partition
+    # order (a float avg would drift in the last bits across runs)
     cent = emb.groupBy("label").agg(*[
-        F.round(F.avg(F.col("e")[i]), 8).alias(f"c{i}") for i in range(dims)
+        F.round(F.sum(F.col("e")[i].cast("decimal(28,14)")).cast("double")
+                / F.count("*"), 8).alias(f"c{i}")
+        for i in range(dims)
     ])
     cent = cent.select(
         "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
@@ -191,7 +195,8 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AVG_LIST = ", ".join(
-    f"ROUND(AVG(embedding[{i + 1}]), 8) AS c{i}" for i in range(64))
+    f"ROUND(CAST(SUM(CAST(embedding[{i + 1}] AS DECIMAL(28,14))) AS DOUBLE)"
+    f" / COUNT(*), 8) AS c{i}" for i in range(64))
 _CENT_LIST = "[" + ", ".join(f"c{i}" for i in range(64)) + "]"
 
 ORACLE_CENTROID = f"""

@@ -176,9 +176,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type) counts + exact value sums. In streaming form this is
     the same plan behind readStream + window(ts, '1 hour')."""
     events = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; date_trunc would coerce to session-tz LTZ and
+    # shift wall times — rebuild the hour as NTZ from wall-time fields,
+    # which is timezone-independent in any session
+    hour_ntz = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
     return (
         events.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
+            hour_ntz.alias("hour"),
             "event_type")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
@@ -203,10 +208,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum the flags into session ids, then aggregate. Integer
     microsecond arithmetic — no float, no truncation ambiguity."""
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is exact
-    us = lambda c: F.unix_micros(c.cast("timestamp"))
-    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    # NTZ-safe microseconds: timestampdiff from an NTZ epoch never
+    # touches the session timezone (a cast to TIMESTAMP would)
+    events = events.withColumn("ts_us", F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     flagged = events.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))

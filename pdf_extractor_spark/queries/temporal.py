@@ -32,8 +32,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _us(c):
-    return F.unix_micros(c.cast("timestamp"))
+def _us(col_name: str):
+    """NTZ-safe epoch microseconds: timestampdiff from an NTZ epoch is
+    timezone-independent (a cast to TIMESTAMP would shift by the
+    session offset and break oracle parity in non-UTC sessions)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{col_name})")
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +46,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user. Implemented as a running conditional max over an
     ordered window (no join at all) — the canonical Spark rewrite of
     ASOF JOIN. Ties on ts break by event_id (deterministic)."""
-    ev = _events(spark, sf_dir).withColumn("ts_us", _us(F.col("ts")))
+    ev = _events(spark, sf_dir).withColumn("ts_us", _us("ts"))
     w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     last_view = F.max(
@@ -85,7 +90,7 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor bucket unioned in, exact band filter afterwards — the
     shuffle is keyed, never all-pairs. Output: per-user pair counts."""
     ev = (_events(spark, sf_dir)
-          .select("user_id", "event_id", _us(F.col("ts")).alias("ts_us")))
+          .select("user_id", "event_id", _us("ts").alias("ts_us")))
     bucket_us = RANGE_SECONDS * 1_000_000
     a = ev.select("user_id", F.col("event_id").alias("id_a"),
                   F.col("ts_us").alias("ts_a"),

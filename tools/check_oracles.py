@@ -12,6 +12,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -86,7 +87,9 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from pdf_extractor_spark.session import get_spark
 
-    spark = get_spark("check-oracles")
+    tz = os.environ.get("ORACLE_TZ")
+    spark = get_spark("check-oracles",
+                      extra={"spark.sql.session.timeZone": tz} if tz else None)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

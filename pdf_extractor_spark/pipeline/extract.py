@@ -32,11 +32,16 @@ from pyspark.sql import functions as F
 from ..kernels import chapters as kch
 from ..kernels import doctype as kdt
 from ..kernels import envelope as kenv
-from ..kernels import htmlx, pdfx, textnorm
+from ..kernels import htmlx, ocr, pdfx, textnorm
 from ..kernels import lines as klines
 from ..kernels import markdown as kmd
 
 LEVELS = ("raw", "lines", "chapters", "processed", "markdown")
+
+# Poison-row defense: at 10^12 rows a multi-GB payload must become one
+# failure_reason row, never an executor OOM. 64 MiB covers any sane
+# web page/PDF; the cap is checked before any parsing allocates.
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 _BASE_SCHEMA = ("url string, warc_ts timestamp, lang string, "
                 "doctype string, text string, n_chars long, n_lines long, "
@@ -55,19 +60,35 @@ def _dumps(obj) -> str:
 
 
 def extract_document(payload, pre_text, url: str,
-                     levels: Sequence[str]) -> dict:
+                     levels: Sequence[str],
+                     use_ocr_fallback: bool = False) -> dict:
     """Per-document kernel chain — shared verbatim by the Spark stage and
-    the single-node golden generator (tools/make_goldens.py)."""
+    the single-node golden generator (tools/make_goldens.py).
+
+    ``use_ocr_fallback`` mirrors the reference's flag
+    (pdf_extractor.py:41): a PDF parse yielding less than
+    min_text_length chars (the S6 scanned gate) is routed to the OCR
+    stage (S4); without an OCR toolchain that becomes a per-row
+    failure_reason, never a task failure.
+    """
     out: dict = {"doctype": None, "text": None, "n_chars": 0, "n_lines": 0,
                  "failure_reason": None}
     for col in _LEVEL_COLS:
         if col in levels:
             out["markdown" if col == "markdown" else f"{col}_json"] = None
     try:
+        if payload is not None and len(payload) > MAX_PAYLOAD_BYTES:
+            out["doctype"] = kdt.detect_doctype(bytes(payload[:16]))
+            out["failure_reason"] = (
+                f"payload too large: {len(payload)} bytes "
+                f"(cap {MAX_PAYLOAD_BYTES})")
+            return out
         if payload is not None and len(payload) > 0:
             dtype = kdt.detect_doctype(bytes(payload))
             if dtype == kdt.DOC_PDF:
                 raw = pdfx.extract_pdf_text(bytes(payload))
+                if use_ocr_fallback and ocr.needs_ocr(raw):
+                    raw = ocr.extract_via_ocr(bytes(payload))
             elif dtype == kdt.DOC_HTML:
                 raw = htmlx.extract_html_text(bytes(payload))
             else:
@@ -117,13 +138,15 @@ def extract_document(payload, pre_text, url: str,
 
 
 def extract_pages(pages: DataFrame,
-                  levels: Sequence[str] = ("raw",)) -> DataFrame:
+                  levels: Sequence[str] = ("raw",),
+                  use_ocr_fallback: bool = False) -> DataFrame:
     """Run the fused extraction over a ``pages`` DataFrame.
 
     ``levels`` ⊆ {raw, lines, chapters, processed, markdown}; higher
     levels imply the per-document work of the lower ones (mirroring the
     reference's dependency chain, cli.py:155-168 — here the chain is
     fused into one stage instead of re-running).
+    ``use_ocr_fallback`` routes scanned PDFs to the S4 OCR stage.
     """
     bad = set(levels) - set(LEVELS)
     if bad:
@@ -139,7 +162,8 @@ def extract_pages(pages: DataFrame,
             for url, ts, payload, pre_text, lang in zip(
                     batch["url"], batch["warc_ts"], batch["html"],
                     batch["text"], batch["lang"]):
-                rec = extract_document(payload, pre_text, url, lv)
+                rec = extract_document(payload, pre_text, url, lv,
+                                       use_ocr_fallback=use_ocr_fallback)
                 rec["url"] = url
                 rec["warc_ts"] = ts
                 rec["lang"] = lang

@@ -210,6 +210,75 @@ def _records_for_ids(ids, seed: int, skew_frac: float) -> List[Dict]:
     return rows
 
 
+EXTRA_CLASSES = ["unicode", "empty_html", "nested_lists",
+                 "whitespace_soup", "mixed_long"]
+
+
+def _extra_class_lines(cls: str, rng: random.Random) -> List[str]:
+    """Second fixture family — adversarial classes added after the
+    original goldens were frozen (kept separate so the original 45
+    stay byte-stable across rounds)."""
+    if cls == "unicode":
+        return [
+            "Café déjà-vu naïve façade — æther cœur",
+            "Chapter 1: Übersicht",
+            "中文段落内容测试 with mixed script",
+            _sentence(rng, 8) + " ß π µ",
+        ]
+    if cls == "empty_html":
+        return []
+    if cls == "nested_lists":
+        return [
+            "The pack contains the following",
+            "• outer item one",
+            "• outer item two",
+            "- inner detail a",
+            "- inner detail b",
+            _sentence(rng, 9),
+        ]
+    if cls == "whitespace_soup":
+        return [
+            "words\twith\ttabs  and   runs    of spaces",
+            "  leading and trailing   ",
+            _sentence(rng, 7) + "     " + _sentence(rng, 6),
+        ]
+    # mixed_long: structure + long line + header-ish repetition
+    long = " ".join(_sentence(rng, 10) for _ in range(30))
+    return [
+        "Chapter 1: Mixed Stress",
+        _sentence(rng, 10),
+        long,
+        "H i l l D w a r f",
+        _sentence(rng, 9),
+    ]
+
+
+def build_extra_records(n: int, seed: int = 137) -> List[Dict]:
+    """Deterministic extra-family rows (same schema as the pages
+    corpus; urls under /extra/ so the families never collide)."""
+    base_ts = dt.datetime(2025, 7, 1, tzinfo=dt.timezone.utc)
+    rows: List[Dict] = []
+    for i in range(n):
+        cls = EXTRA_CLASSES[i % len(EXTRA_CLASSES)]
+        rng = random.Random(seed * 1_000_003 + i)
+        lines = _extra_class_lines(cls, rng)
+        title = f"Extra {i} {cls.replace('_', ' ').title()}"
+        domain = rng.choice(DOMAINS)
+        is_pdf = (i % 2 == 1)
+        url = (f"https://{domain}/extra/{cls}/{i:05d}"
+               f".{'pdf' if is_pdf else 'html'}")
+        payload = (_pdf_payload(cls, [ln[:90] for ln in lines])
+                   if is_pdf else _html_payload(title, lines, rng))
+        rows.append({
+            "url": url,
+            "warc_ts": base_ts + dt.timedelta(seconds=i * 13),
+            "html": payload,
+            "text": None,
+            "lang": rng.choice(LANGS),
+        })
+    return rows
+
+
 def write_pages_parquet(path: str, n: int, seed: int = 42,
                         skew_frac: float = 0.3) -> None:
     """Materialize the corpus to parquet (bench/fixture input).

@@ -19,35 +19,46 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_extractor_spark.pipeline.extract import LEVELS, extract_document
-from pdf_extractor_spark.sources.pages import build_pages_records
+from pdf_extractor_spark.sources.pages import (build_extra_records,
+                                               build_pages_records)
 
 GOLDEN_N = 45  # 5 docs per content class
 GOLDEN_SEED = 42
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "fixtures", "goldens")
+EXTRA_N = 25   # 5 docs per extra class (second frozen family)
+EXTRA_SEED = 137
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_DIR = os.path.join(_REPO, "fixtures", "goldens")
+EXTRA_DIR = os.path.join(_REPO, "fixtures", "goldens_extra")
 
 
 def url_hash(url: str) -> str:
     return hashlib.sha256(url.encode("utf-8")).hexdigest()[:16]
 
 
-def main() -> None:
-    os.makedirs(OUT_DIR, exist_ok=True)
-    for old in os.listdir(OUT_DIR):
-        os.unlink(os.path.join(OUT_DIR, old))
+def _write_family(records, out_dir) -> int:
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, old))
     index = {}
-    for rec in build_pages_records(GOLDEN_N, GOLDEN_SEED):
+    for rec in records:
         result = extract_document(rec["html"], rec["text"], rec["url"], LEVELS)
         result["url"] = rec["url"]
         h = url_hash(rec["url"])
         index[h] = rec["url"]
-        with open(os.path.join(OUT_DIR, f"{h}.json"), "w",
+        with open(os.path.join(out_dir, f"{h}.json"), "w",
                   encoding="utf-8") as f:
             json.dump(result, f, ensure_ascii=False, sort_keys=True, indent=1)
-    with open(os.path.join(OUT_DIR, "_index.json"), "w",
+    with open(os.path.join(out_dir, "_index.json"), "w",
               encoding="utf-8") as f:
         json.dump(index, f, ensure_ascii=False, sort_keys=True, indent=1)
-    print(f"wrote {len(index)} goldens to {OUT_DIR}")
+    return len(index)
+
+
+def main() -> None:
+    n = _write_family(build_pages_records(GOLDEN_N, GOLDEN_SEED), OUT_DIR)
+    print(f"wrote {n} goldens to {OUT_DIR}")
+    n = _write_family(build_extra_records(EXTRA_N, EXTRA_SEED), EXTRA_DIR)
+    print(f"wrote {n} goldens to {EXTRA_DIR}")
 
 
 if __name__ == "__main__":

@@ -246,8 +246,48 @@ FROM selected GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling / train-eval split: bucket each doc
+    by an md5-derived hash of its id (stable across engines, runs, and
+    cluster sizes — unlike TABLESAMPLE, which is random), assign
+    train/val/test 8:1:1, and report per-source split sizes. This is
+    how a 100 TB corpus gets reproducible held-out sets."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    split = (F.when(h % 10 < 8, "train")
+             .when(h % 10 == 8, "val")
+             .otherwise("test"))
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_HASH_SPLIT = """
+WITH assigned AS (
+  SELECT source, doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM assigned
+GROUP BY source, CASE WHEN bucket < 8 THEN 'train'
+                      WHEN bucket = 8 THEN 'val' ELSE 'test' END
+ORDER BY source, split
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "token_count": (q_token_count, ORACLE_TOKENS),

@@ -246,6 +246,70 @@ FROM selected GROUP BY doc_id ORDER BY doc_id
 """
 
 
+NGRAM_SIGNALS = {          # characteristic character n-grams per language
+    "en": ["th", "he", "ng"],
+    "fr": ["ou", "le", "es"],
+    "es": ["os", "la", "el"],
+    "de": ["ch", "ei", "un"],
+}
+
+
+def _occ(col, pat: str):
+    """Occurrence count of a literal substring, JVM-side:
+    (len(s) - len(replace(s, pat, ''))) / len(pat)."""
+    return ((F.length(col)
+             - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))).cast("long")
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the classic heuristic): count
+    characteristic bigram occurrences per language in one projection —
+    no tokenization, no UDF, exact in both engines via the
+    length-difference trick. Deterministic argmax in LANG_ORDER."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = {
+        lang: sum((_occ(F.col("text"), p) for p in pats[1:]),
+                  _occ(F.col("text"), pats[0]))
+        for lang, pats in NGRAM_SIGNALS.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        *[scores[lg].alias(f"ng_{lg}") for lg in LANG_ORDER])
+    best = F.greatest(*[F.col(f"ng_{lg}") for lg in LANG_ORDER])
+    pred = None
+    for lang in LANG_ORDER:
+        cond = F.col(f"ng_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return (scored.withColumn("predicted_lang", pred)
+            .orderBy("doc_id"))
+
+
+def _occ_sql(pat: str) -> str:
+    return (f"CAST((length(text) - length(replace(text, '{pat}', '')))"
+            f" / {len(pat)} AS BIGINT)")
+
+
+def _ng_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(p) for p in NGRAM_SIGNALS[lang])
+
+
+ORACLE_LANG_NGRAM = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_ng_sql('en')} AS ng_en, {_ng_sql('fr')} AS ng_fr,
+         {_ng_sql('es')} AS ng_es, {_ng_sql('de')} AS ng_de
+  FROM documents
+)
+SELECT doc_id, ng_en, ng_fr, ng_es, ng_de,
+       CASE WHEN ng_en >= greatest(ng_fr, ng_es, ng_de) THEN 'en'
+            WHEN ng_fr >= greatest(ng_es, ng_de) THEN 'fr'
+            WHEN ng_es >= ng_de THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling / train-eval split: bucket each doc
     by an md5-derived hash of its id (stable across engines, runs, and
@@ -287,6 +351,7 @@ ORDER BY source, split
 
 QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
+    "lang_id_ngram": (q_lang_id_ngram, ORACLE_LANG_NGRAM),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),
     "quality_score": (q_quality_score, ORACLE_QUALITY),

@@ -58,6 +58,21 @@ _HASH_SPARK = lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10) \
     .cast("long")
 _HASH_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
 
+# 3-token shingles, guarded for docs with <3 whitespace tokens: Spark's
+# sequence(0, size-3) with size<3 yields a DESCENDING sequence (e.g.
+# [0,-1]), so split(...)[i+1] throws under ANSI mode (Spark 4 default)
+# and emits bogus ''/partial shingles with ANSI off — diverging from the
+# DuckDB oracle, whose generate_series(1, len-2) is empty for len<3.
+# The CASE guard makes short docs produce an empty shingle set in both
+# engines (matching the oracle exactly).
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text,' ')) >= 3 THEN"
+    " transform(sequence(0, size(split(text,' '))-3),"
+    " i -> concat_ws(' ', split(text,' ')[i],"
+    " split(text,' ')[i+1], split(text,' ')[i+2]))"
+    " ELSE cast(array() as array<string>) END"
+)
+
 
 # --- exact dedup ---------------------------------------------------------
 
@@ -84,22 +99,35 @@ FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
 
 # --- n-gram Jaccard near-dup --------------------------------------------
 
+JACCARD_DF_CAP = 50  # drop shingles appearing in more than this many docs
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram-shingle Jaccard near-dup via inverted index: shingle →
     doc postings, self-join on shingle (the shuffle key), count common
-    shingles per pair, Jaccard from the exact set sizes. Top-20 pairs
-    under a unique total order. No document ever cross-joins another
-    without at least one shared shingle."""
+    shingles per pair, Jaccard from the set sizes. Top-20 pairs under a
+    unique total order. No document ever cross-joins another without at
+    least one shared shingle.
+
+    Skew defense (the 100-TB concern): before the self-join, shingles
+    with document frequency > JACCARD_DF_CAP are pruned (standard
+    stop-shingle pruning — a near-universal shingle like "of the and"
+    is exactly the skewed shuffle key that makes the posting-list
+    self-join quadratic, and carries no similarity signal). Both the
+    per-doc sizes and the intersections are computed over the SAME
+    pruned shingle set, so the Jaccard score stays self-consistent
+    (similarity over informative shingles); the DuckDB oracle applies
+    the identical cap. At sf0.1 the cap removes the hot tail only:
+    candidate pairs drop while every top near-dup pair survives."""
     docs = _t(spark, sf_dir, "documents")
-    shingles = (
-        docs.select(
-            "doc_id",
-            F.explode(F.expr(
-                "transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
-                " i -> concat_ws(' ', split(text,' ')[i],"
-                " split(text,' ')[i+1], split(text,' ')[i+2]))"
-            )).alias("shingle"))
+    all_shingles = (
+        docs.select("doc_id",
+                    F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
         .distinct())
+    df_counts = (all_shingles.groupBy("shingle")
+                 .agg(F.count("*").alias("df"))
+                 .filter(F.col("df") <= JACCARD_DF_CAP))
+    shingles = all_shingles.join(df_counts.select("shingle"), "shingle")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")
     common = (
@@ -123,13 +151,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20))
 
 
-ORACLE_JACCARD = """
+ORACLE_JACCARD = f"""
 WITH arr AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-), shingles AS (
+), all_shingles AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+), rare AS (
+  SELECT shingle FROM all_shingles
+  GROUP BY shingle HAVING COUNT(*) <= {JACCARD_DF_CAP}
+), shingles AS (
+  SELECT s.doc_id, s.shingle FROM all_shingles s JOIN rare USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
 ), common AS (
@@ -334,42 +367,57 @@ ORDER BY hamming, doc_a, doc_b LIMIT 50
 
 
 def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash at scale: band-bucket join on the top byte of the
-    signature (same banding trick as MinHash-LSH) — candidate pairs
-    only form inside a bucket, so the join is equi-keyed and
-    shuffle-partitionable at 10^12 docs. Near-dups = hamming ≤ 6
-    within bucket."""
-    sh = q_simhash_signatures(spark, sf_dir) \
-        .withColumn("band", F.expr("simhash div 16777216"))
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("simhash").alias("sh_a"), "band")
-    b = sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("simhash").alias("sh_b"), "band")
+    """SimHash at scale: the 32-bit signature splits into FOUR disjoint
+    8-bit bands; each doc is keyed under every (band_id, band_value)
+    and candidate pairs only form inside a bucket, so the join is
+    equi-keyed and shuffle-partitionable at 10^12 docs (~2^8 buckets
+    per band × 4 bands, vs a single-band scheme whose 256 total
+    buckets would leave the intra-bucket pairing quadratic).
+
+    Recall guarantee (pigeonhole): any pair at hamming distance ≤ 3
+    differs in at most 3 of the 4 bands, so at least one band matches
+    exactly — such pairs are ALWAYS candidates. Pairs at hamming 4..6
+    are found only when their differing bits cluster into ≤ 3 bands
+    (the common case); hamming ≤ 6 is the verify filter, applied after
+    the banded candidate join."""
+    sh = q_simhash_signatures(spark, sf_dir)
+    band_ids = spark.createDataFrame([(b,) for b in range(4)], "band int")
+    banded = (
+        sh.crossJoin(F.broadcast(band_ids))
+        .withColumn("band_key",
+                    F.expr("shiftright(simhash, band * 8) % 256")))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "band", "band_key")
     pairs = (
-        a.join(b, ["band"])
+        a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+        .agg(F.count("*").alias("n_bands_hit"))
         .withColumn("hamming",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("int"))
         .filter(F.col("hamming") <= 6))
-    return (
-        pairs.groupBy("band")
-        .agg(F.count("*").alias("n_near_dup_pairs"),
-             F.min("hamming").alias("min_hamming"))
-        .orderBy("band")
-    )
+    return (pairs.select("doc_a", "doc_b", "hamming", "n_bands_hit")
+            .orderBy("hamming", "doc_a", "doc_b"))
 
 
 ORACLE_SIMHASH_BANDS = f"""
 WITH {_SIMHASH_SQL},
 banded AS (
-  SELECT doc_id, simhash, simhash // 16777216 AS band FROM simhashes
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 8)) & 255 AS band_key
+  FROM simhashes, LATERAL (SELECT unnest(generate_series(0, 3)) AS band)
 )
-SELECT a.band, COUNT(*) AS n_near_dup_pairs,
-       CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS min_hamming
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       COUNT(*) AS n_bands_hit
 FROM banded a JOIN banded b
-  ON a.band = b.band AND a.doc_id < b.doc_id
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-GROUP BY a.band ORDER BY a.band
+GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+ORDER BY hamming, doc_a, doc_b
 """
 
 

@@ -199,14 +199,14 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc: fingerprint size + min/max selected hash."""
     from pyspark.sql import Window as W
 
+    from pdf_extractor_spark.queries.dedup import _SHINGLES_SPARK
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _SHINGLES_SPARK guards docs with <3 tokens (empty shingle array in
+    # both engines — ORACLE_WINNOW's generate_series emits none either).
     sh = docs.select(
         "doc_id",
-        F.posexplode(F.expr(
-            "transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
-            " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
-            " split(text,' ')[i+2]))"
-        )).alias("pos", "shingle"))
+        F.posexplode(F.expr(_SHINGLES_SPARK)).alias("pos", "shingle"))
     hashed = sh.withColumn(
         "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
         .cast("long"))

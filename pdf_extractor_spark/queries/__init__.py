@@ -15,12 +15,14 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, extraction, relational, simsearch, temporal, textstats
+from . import (dedup, extraction, mdvalidate, relational, simsearch,
+               temporal, textstats)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
-for mod in (relational, dedup, simsearch, textstats, temporal, extraction):
+for mod in (relational, dedup, simsearch, textstats, temporal, extraction,
+            mdvalidate):
     overlap = set(REGISTRY) & set(mod.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {sorted(overlap)}")

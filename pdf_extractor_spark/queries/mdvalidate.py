@@ -1,0 +1,281 @@
+"""Markdown-validator diagnostics as relational queries (P21/O4/A6/Q5).
+
+The reference's validate-md path (/root/reference/src/nlp/
+markdown_validator.py) becomes a side-output DataFrame of error rows
+plus relational queries over it — SURVEY.md §3.3's Spark translation:
+
+- ``md_sections``      — P21 fenced-code section split (:406-457) as a
+  running-sum sessionization window;
+- ``markdown_errors``  — the regex check families (:262-404) at match
+  granularity, Q5-ordered (family → pattern-list index → position) and
+  O4-capped to 10 errors per section (:44,:186-193) via row_number;
+- ``error_report``     — A6 grouped per-error-type report (:497-511);
+- ``md_errors_kernel`` — the byte-exact kernel
+  (kernels.mdvalidator.validate_markdown, including the difflib word
+  family) through ONE mapInPandas stage — rows-only (difflib and
+  Python-`re` IGNORECASE are not ANSI-expressible), golden-pinned by
+  tests/test_kernels_mdvalidator.py.
+
+Input derivation: the driver's ``documents.text`` is single-line clean
+prose, so each query first derives a deterministic markdown view per
+doc — the SAME literal ``replace`` chain in Spark SQL and DuckDB
+(MD_EXPR) injects newlines, fenced code blocks, and the typo shapes the
+validator hunts. No randomness, no Python: the derivation is part of
+the query plan in both engines.
+
+Scale posture: everything downstream of the scan is keyed on doc_id
+(the sessionization window and the per-section cap both partition by
+(doc_id, section_id)) — no cross-document shuffle key exists, so the
+plan is embarrassingly parallel at 10^12 docs; the regex matching sits
+inside whole-stage codegen (regexp_extract_all, no UDF).
+
+Relational-twin deviations from the reference, on purpose (the
+byte-exact path is ``md_errors_kernel``): a representative pattern
+subset valid in both Java regex and RE2 (no backreferences), matched
+case-sensitively; the word family (difflib) lives only in the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MAX_ERRORS_PER_SECTION = 10  # markdown_validator.py:44
+
+# Deterministic markdown view of documents.text — valid as a Spark SQL
+# expression AND as a DuckDB projection (no backslash escapes; chr /
+# replace / || behave identically). Injects: a heading line, newline +
+# 't he' spacing errors, 'ta ble' split words, 'what ever' phrase
+# errors, fenced code blocks, and a trailing 'youcan' joined-words line.
+MD_EXPR = (
+    "'# Doc ' || CAST(doc_id AS STRING) || chr(10) || "
+    "replace(replace(replace(replace(text, "
+    "' table ', ' ta ble '), "
+    "' the ', chr(10) || 't he '), "
+    "' sort ', ' what ever '), "
+    "' batch ', chr(10) || '```' || chr(10) || 'code sample' || chr(10) "
+    "|| '```' || chr(10)) "
+    "|| chr(10) || 'youcan end'"
+)
+
+# Relational pattern subset: (family_rank, error_type, pattern_idx,
+# regex, suggestion, confidence in basis points). family_rank mirrors
+# the reference family execution order (:173-186) minus the
+# kernel-only word family; suggestion for the general split pattern is
+# the RAW template, exactly as the reference reports it (:103).
+PATTERNS = [
+    (1, "phrase", 0, r"what ever", "whatever", 9500),
+    (2, "spacing", 0, r"t\s+he\b", "the", 9500),
+    (2, "spacing", 1, r"\b(\w{2})\s+(\w{2,})\b", "\\1\\2", 8500),
+    (3, "joined_words", 0, r"youcan", "you can", 9500),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(MD_EXPR).alias("md")))
+
+
+def _sessionized_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode to (doc_id, line_no, line) and sessionize on fence
+    markers: cum = running count of ``` lines; a line is inside code
+    iff cum is odd or it is itself a fence; text-section id = cum/2."""
+    lines = _md_docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split("md", "\n")).alias("line_no", "line"))
+    is_fence = F.expr("trim(line) like '```%'")
+    w = (Window.partitionBy("doc_id").orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (lines
+            .withColumn("is_fence", is_fence.cast("int"))
+            .withColumn("cum", F.sum("is_fence").over(w)))
+
+
+def _text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _sessionized_lines(spark, sf_dir)
+    return (sess.filter((F.col("cum") % 2 == 0) & (F.col("is_fence") == 0))
+            .select("doc_id",
+                    F.expr("cast(cum div 2 as int)").alias("section_id"),
+                    "line_no", "line"))
+
+
+_MD_LINES_SQL = f"""
+md AS (
+  SELECT doc_id, {MD_EXPR} AS md FROM documents
+), ls AS (
+  SELECT doc_id, string_split(md, chr(10)) AS arr FROM md
+), lines AS (
+  SELECT doc_id, i - 1 AS line_no, arr[i] AS line
+  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+), sess AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN trim(line) LIKE '```%' THEN 1 ELSE 0 END AS is_fence,
+         SUM(CASE WHEN trim(line) LIKE '```%' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY line_no
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lines
+), textlines AS (
+  SELECT doc_id, CAST(cum // 2 AS INT) AS section_id, line_no, line
+  FROM sess WHERE cum % 2 = 0 AND is_fence = 0
+)"""
+
+
+def q_md_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P21 as a query: per text section, line span + line count. The
+    window sessionization IS the reference's _extract_sections fold."""
+    return (_text_lines(spark, sf_dir)
+            .groupBy("doc_id", "section_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.min("line_no").alias("first_line_no"),
+                 F.max("line_no").alias("last_line_no"))
+            .orderBy("doc_id", "section_id"))
+
+
+ORACLE_MD_SECTIONS = f"""
+WITH {_MD_LINES_SQL}
+SELECT doc_id, section_id, COUNT(*) AS n_lines,
+       CAST(MIN(line_no) AS INT) AS first_line_no,
+       CAST(MAX(line_no) AS INT) AS last_line_no
+FROM textlines GROUP BY doc_id, section_id ORDER BY doc_id, section_id
+"""
+
+
+def _capped_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-granularity errors, Q5-ordered and O4-capped."""
+    per_pattern = F.array(*[
+        F.struct(
+            F.lit(rank).alias("family_rank"),
+            F.lit(fam).alias("error_type"),
+            F.lit(idx).alias("pattern_idx"),
+            F.lit(sug).alias("suggestion"),
+            F.lit(bp).alias("confidence_bp"),
+            F.size(F.regexp_extract_all(F.col("line"), F.lit(rx),
+                                        F.lit(0))).alias("n"))
+        for rank, fam, idx, rx, sug, bp in PATTERNS])
+    matches = (_text_lines(spark, sf_dir)
+               .select("doc_id", "section_id", "line_no",
+                       F.explode(per_pattern).alias("p"))
+               .select("doc_id", "section_id", "line_no", "p.*")
+               .filter(F.col("n") > 0)
+               .withColumn("match_idx",
+                           F.explode(F.sequence(F.lit(1), F.col("n")))))
+    w = Window.partitionBy("doc_id", "section_id").orderBy(
+        "family_rank", "pattern_idx", "line_no", "match_idx")
+    return (matches.withColumn("err_rank", F.row_number().over(w))
+            .filter(F.col("err_rank") <= MAX_ERRORS_PER_SECTION))
+
+
+_PATTERN_VALUES = ", ".join(
+    "({}, '{}', {}, '{}', '{}', {})".format(
+        rank, fam, idx, rx.replace("'", "''"), sug, bp)
+    for rank, fam, idx, rx, sug, bp in PATTERNS)
+
+_CAPPED_SQL = f"""
+pat(family_rank, error_type, pattern_idx, rx, suggestion, confidence_bp)
+  AS (VALUES {_PATTERN_VALUES}),
+matches AS (
+  SELECT t.doc_id, t.section_id, t.line_no, p.family_rank, p.error_type,
+         p.pattern_idx, p.suggestion, p.confidence_bp,
+         len(regexp_extract_all(t.line, p.rx)) AS n
+  FROM textlines t CROSS JOIN pat p
+), expanded AS (
+  SELECT doc_id, section_id, line_no, family_rank, error_type,
+         pattern_idx, suggestion, confidence_bp, m AS match_idx
+  FROM matches, LATERAL (SELECT unnest(generate_series(1, n)) AS m)
+  WHERE n > 0
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id, section_id
+      ORDER BY family_rank, pattern_idx, line_no, match_idx)
+    AS INT) AS err_rank
+  FROM expanded
+), capped AS (
+  SELECT * FROM ranked WHERE err_rank <= {MAX_ERRORS_PER_SECTION}
+)"""
+
+
+def q_markdown_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error side-output: one row per surviving error with its
+    section-local rank (what O4 kept), 1-based line number, type,
+    suggestion, and confidence (basis points — integer, so no
+    cross-engine float ties)."""
+    return (_capped_errors(spark, sf_dir)
+            .select("doc_id", "section_id", "err_rank",
+                    (F.col("line_no") + 1).cast("int").alias("line_num"),
+                    "error_type", "suggestion", "confidence_bp")
+            .orderBy("doc_id", "section_id", "err_rank"))
+
+
+ORACLE_MARKDOWN_ERRORS = f"""
+WITH {_MD_LINES_SQL},
+{_CAPPED_SQL}
+SELECT doc_id, section_id, err_rank,
+       CAST(line_no + 1 AS INT) AS line_num,
+       error_type, suggestion, confidence_bp
+FROM capped ORDER BY doc_id, section_id, err_rank
+"""
+
+
+def q_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouped report (format_errors :497-511) as an aggregation:
+    per error_type, total errors and affected docs, ordered by the
+    reference's family execution order."""
+    return (_capped_errors(spark, sf_dir)
+            .groupBy("error_type")
+            .agg(F.min("family_rank").alias("family_rank"),
+                 F.count("*").alias("n_errors"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("family_rank"))
+
+
+ORACLE_ERROR_REPORT = f"""
+WITH {_MD_LINES_SQL},
+{_CAPPED_SQL}
+SELECT error_type, MIN(family_rank) AS family_rank,
+       COUNT(*) AS n_errors, COUNT(DISTINCT doc_id) AS n_docs
+FROM capped GROUP BY error_type ORDER BY family_rank
+"""
+
+
+def q_md_errors_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact validator through Spark: ONE mapInPandas stage runs
+    kernels.mdvalidator.validate_markdown (all four families, including
+    the difflib word checks) per document and emits the MarkdownError
+    side-output rows. Rows-only for the driver (difflib is not ANSI);
+    semantics pinned by the kernel unit tests."""
+    schema = ("doc_id long, line_num int, column int, text string, "
+              "suggestion string, confidence double, error_type string")
+
+    def run(batches):
+        import pandas as pd
+
+        from pdf_extractor_spark.kernels.mdvalidator import \
+            validate_markdown
+
+        for pdf in batches:
+            out = []
+            for doc_id, md in zip(pdf["doc_id"], pdf["md"]):
+                for e in validate_markdown(md):
+                    out.append((doc_id, e["line_num"], e["column"],
+                                e["text"], e["suggestion"],
+                                e["confidence"], e["error_type"]))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "line_num", "column", "text", "suggestion",
+                "confidence", "error_type"])
+
+    return (_md_docs(spark, sf_dir)
+            .mapInPandas(run, schema)
+            .orderBy("doc_id", "line_num", "column", "error_type",
+                     "text"))
+
+
+QUERIES = {
+    "md_sections": (q_md_sections, ORACLE_MD_SECTIONS),
+    "markdown_errors": (q_markdown_errors, ORACLE_MARKDOWN_ERRORS),
+    "error_report": (q_error_report, ORACLE_ERROR_REPORT),
+    "md_errors_kernel": (q_md_errors_kernel, None),
+}

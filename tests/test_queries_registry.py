@@ -28,7 +28,8 @@ def test_registry_shape():
     assert not missing, f"oracles without queries: {missing}"
     # only kernel-semantics ops (golden/unit-tested, not SQL) are rows-only
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extract_docs_stats", "validation_report"}
+    assert rows_only == {"extract_docs_stats", "validation_report",
+                         "md_errors_kernel"}
 
 
 def test_entry_smoke(spark):

@@ -35,6 +35,7 @@ from ..kernels import envelope as kenv
 from ..kernels import htmlx, ocr, pdfx, textnorm
 from ..kernels import lines as klines
 from ..kernels import markdown as kmd
+from ..kernels import textcleaner as ktc
 
 LEVELS = ("raw", "lines", "chapters", "processed", "markdown")
 
@@ -61,7 +62,8 @@ def _dumps(obj) -> str:
 
 def extract_document(payload, pre_text, url: str,
                      levels: Sequence[str],
-                     use_ocr_fallback: bool = False) -> dict:
+                     use_ocr_fallback: bool = False,
+                     text_cleaning: str = "none") -> dict:
     """Per-document kernel chain — shared verbatim by the Spark stage and
     the single-node golden generator (tools/make_goldens.py).
 
@@ -70,9 +72,18 @@ def extract_document(payload, pre_text, url: str,
     min_text_length chars (the S6 scanned gate) is routed to the OCR
     stage (S4); without an OCR toolchain that becomes a per-row
     failure_reason, never a task failure.
+
+    ``text_cleaning`` mirrors the markdown converter's config
+    (markdown_converter.py:36-38): at ``light``/``advanced`` the
+    TextCleaner chain (incl. quirk Q4 run-together splitting) runs over
+    the normalized text into an extra ``cleaned_text`` output column;
+    ``none`` (the default, matching the reference's dormant call site)
+    skips it entirely.
     """
     out: dict = {"doctype": None, "text": None, "n_chars": 0, "n_lines": 0,
                  "failure_reason": None}
+    if text_cleaning != "none":
+        out["cleaned_text"] = None
     for col in _LEVEL_COLS:
         if col in levels:
             out["markdown" if col == "markdown" else f"{col}_json"] = None
@@ -104,6 +115,8 @@ def extract_document(payload, pre_text, url: str,
         out["doctype"] = dtype
         out["text"] = text
         out["n_chars"] = len(text)
+        if text_cleaning != "none":
+            out["cleaned_text"] = ktc.clean_text(text, text_cleaning)
 
         line_result = None
         if not set(levels).isdisjoint({"lines", "chapters", "processed",
@@ -139,7 +152,8 @@ def extract_document(payload, pre_text, url: str,
 
 def extract_pages(pages: DataFrame,
                   levels: Sequence[str] = ("raw",),
-                  use_ocr_fallback: bool = False) -> DataFrame:
+                  use_ocr_fallback: bool = False,
+                  text_cleaning: str = "none") -> DataFrame:
     """Run the fused extraction over a ``pages`` DataFrame.
 
     ``levels`` ⊆ {raw, lines, chapters, processed, markdown}; higher
@@ -147,6 +161,8 @@ def extract_pages(pages: DataFrame,
     reference's dependency chain, cli.py:155-168 — here the chain is
     fused into one stage instead of re-running).
     ``use_ocr_fallback`` routes scanned PDFs to the S4 OCR stage.
+    ``text_cleaning`` ∈ {none, basic, light, advanced} adds the
+    TextCleaner chain (quirk Q4) as a ``cleaned_text`` column.
     """
     bad = set(levels) - set(LEVELS)
     if bad:
@@ -154,6 +170,8 @@ def extract_pages(pages: DataFrame,
     schema = _BASE_SCHEMA + "".join(
         f", {_LEVEL_COLS[lv]}" for lv in LEVELS if lv in levels and lv != "raw"
     )
+    if text_cleaning != "none":
+        schema += ", cleaned_text string"
     lv = tuple(levels)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -163,7 +181,8 @@ def extract_pages(pages: DataFrame,
                     batch["url"], batch["warc_ts"], batch["html"],
                     batch["text"], batch["lang"]):
                 rec = extract_document(payload, pre_text, url, lv,
-                                       use_ocr_fallback=use_ocr_fallback)
+                                       use_ocr_fallback=use_ocr_fallback,
+                                       text_cleaning=text_cleaning)
                 rec["url"] = url
                 rec["warc_ts"] = ts
                 rec["lang"] = lang

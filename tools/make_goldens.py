@@ -29,19 +29,24 @@ EXTRA_SEED = 137
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.path.join(_REPO, "fixtures", "goldens")
 EXTRA_DIR = os.path.join(_REPO, "fixtures", "goldens_extra")
+# Third family: TextCleaner enabled (quirk Q4 run-together splitting) —
+# pins cleaned_text bytes over the same 45-record corpus, including the
+# run_together class docs the splitter was built for.
+CLEANED_DIR = os.path.join(_REPO, "fixtures", "goldens_cleaned")
 
 
 def url_hash(url: str) -> str:
     return hashlib.sha256(url.encode("utf-8")).hexdigest()[:16]
 
 
-def _write_family(records, out_dir) -> int:
+def _write_family(records, out_dir, levels=LEVELS, **extract_kwargs) -> int:
     os.makedirs(out_dir, exist_ok=True)
     for old in os.listdir(out_dir):
         os.unlink(os.path.join(out_dir, old))
     index = {}
     for rec in records:
-        result = extract_document(rec["html"], rec["text"], rec["url"], LEVELS)
+        result = extract_document(rec["html"], rec["text"], rec["url"],
+                                  levels, **extract_kwargs)
         result["url"] = rec["url"]
         h = url_hash(rec["url"])
         index[h] = rec["url"]
@@ -59,6 +64,9 @@ def main() -> None:
     print(f"wrote {n} goldens to {OUT_DIR}")
     n = _write_family(build_extra_records(EXTRA_N, EXTRA_SEED), EXTRA_DIR)
     print(f"wrote {n} goldens to {EXTRA_DIR}")
+    n = _write_family(build_pages_records(GOLDEN_N, GOLDEN_SEED),
+                      CLEANED_DIR, levels=("raw",), text_cleaning="light")
+    print(f"wrote {n} goldens to {CLEANED_DIR}")
 
 
 if __name__ == "__main__":

@@ -70,8 +70,10 @@ def extract_document(payload, pre_text, url: str,
     ``use_ocr_fallback`` mirrors the reference's flag
     (pdf_extractor.py:41): a PDF parse yielding less than
     min_text_length chars (the S6 scanned gate) is routed to the OCR
-    stage (S4); without an OCR toolchain that becomes a per-row
-    failure_reason, never a task failure.
+    stage (S4). When no OCR toolchain exists the row KEEPS the short
+    parsed text (the parse did succeed) and the skip is recorded in the
+    ``ocr_status`` column — failing the row would discard text the
+    parser extracted (ADVICE r01).
 
     ``text_cleaning`` mirrors the markdown converter's config
     (markdown_converter.py:36-38): at ``light``/``advanced`` the
@@ -82,6 +84,8 @@ def extract_document(payload, pre_text, url: str,
     """
     out: dict = {"doctype": None, "text": None, "n_chars": 0, "n_lines": 0,
                  "failure_reason": None}
+    if use_ocr_fallback:
+        out["ocr_status"] = None
     if text_cleaning != "none":
         out["cleaned_text"] = None
     for col in _LEVEL_COLS:
@@ -99,7 +103,12 @@ def extract_document(payload, pre_text, url: str,
             if dtype == kdt.DOC_PDF:
                 raw = pdfx.extract_pdf_text(bytes(payload))
                 if use_ocr_fallback and ocr.needs_ocr(raw):
-                    raw = ocr.extract_via_ocr(bytes(payload))
+                    try:
+                        raw = ocr.extract_via_ocr(bytes(payload))
+                        out["ocr_status"] = "ocr_applied"
+                    except ocr.OcrUnavailableError as exc:
+                        # keep the (short) parsed text; record the skip
+                        out["ocr_status"] = f"ocr_skipped: {exc}"[:200]
             elif dtype == kdt.DOC_HTML:
                 raw = htmlx.extract_html_text(bytes(payload))
             else:
@@ -170,6 +179,8 @@ def extract_pages(pages: DataFrame,
     schema = _BASE_SCHEMA + "".join(
         f", {_LEVEL_COLS[lv]}" for lv in LEVELS if lv in levels and lv != "raw"
     )
+    if use_ocr_fallback:
+        schema += ", ocr_status string"
     if text_cleaning != "none":
         schema += ", cleaned_text string"
     lv = tuple(levels)

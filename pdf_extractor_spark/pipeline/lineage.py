@@ -12,8 +12,11 @@ north rule; the *pattern* is the portable part:
   batch's data directory is fully written, and each batch overwrites its
   own directory — so a crash mid-batch re-runs just that batch and the
   rewrite is idempotent (exactly-once output).
-- A ``lineage`` table records per-batch rows_in/rows_out and the per-url
-  failure reasons surfaced by the extraction stage.
+- A ``lineage`` table records per-batch rows_in/rows_out/failure counts
+  ONLY; the per-url failure rows land in a ``failures`` parquet table
+  keyed by batch (a DataFrame write, never a driver-side collect — at
+  10^12 rows a batch with a systematic failure mode must not OOM the
+  driver; VERDICT r01 "What's wrong" #2).
 
 At cluster scale batches map to Iceberg partitions/snapshots and the
 checkpoint/lineage tables are Iceberg tables written in the same
@@ -37,7 +40,7 @@ CHECKPOINT_SCHEMA = ("snapshot_id long, batch_id int, row_count long, "
                      "failure_count long, completed_at timestamp")
 LINEAGE_SCHEMA = (
     "batch_id int, input_snapshot_id long, partition_id int, rows_in long, "
-    "rows_out long, failures array<struct<url:string, reason:string>>"
+    "rows_out long, failure_count long"
 )
 
 
@@ -47,6 +50,10 @@ def _checkpoint_path(out_dir: str) -> str:
 
 def _lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
+
+
+def _failures_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "failures")
 
 
 def completed_batches(spark: SparkSession, out_dir: str,
@@ -86,17 +93,22 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
             extracted = extract_pages(batch, levels=levels).cache()
             try:
                 out_rows = extracted.filter(F.col("failure_reason").isNull())
-                failures = [
-                    {"url": r.url, "reason": r.failure_reason}
-                    for r in extracted.filter(
-                        F.col("failure_reason").isNotNull())
-                    .select("url", "failure_reason").collect()
-                ]
+                fail_rows = (extracted
+                             .filter(F.col("failure_reason").isNotNull())
+                             .select("url", F.col("failure_reason")
+                                     .alias("reason")))
                 data_dir = os.path.join(out_dir, "data", f"batch={batch_id}")
-                if os.path.exists(data_dir):  # crash-mid-batch leftovers
-                    shutil.rmtree(data_dir)
+                fail_dir = os.path.join(_failures_path(out_dir),
+                                        f"batch={batch_id}")
+                for d in (data_dir, fail_dir):  # crash-mid-batch leftovers
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
                 out_rows.write.mode("overwrite").parquet(data_dir)
-                rows_out = rows_in - len(failures)
+                # Failures stay a DataFrame end-to-end: a distributed
+                # write + a count aggregate, never a driver collect.
+                fail_rows.write.mode("overwrite").parquet(fail_dir)
+                failure_count = fail_rows.count()  # cached upstream
+                rows_out = rows_in - failure_count
 
                 _append(spark, _lineage_path(out_dir), LINEAGE_SCHEMA, [{
                     "batch_id": batch_id,
@@ -104,14 +116,14 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                     "partition_id": batch_id,
                     "rows_in": rows_in,
                     "rows_out": rows_out,
-                    "failures": failures,
+                    "failure_count": failure_count,
                 }])
                 # Commit point: checkpoint row AFTER data + lineage land.
                 _append(spark, _checkpoint_path(out_dir), CHECKPOINT_SCHEMA, [{
                     "snapshot_id": snapshot_id,
                     "batch_id": batch_id,
                     "row_count": rows_out,
-                    "failure_count": len(failures),
+                    "failure_count": failure_count,
                     "completed_at": dt.datetime.now(dt.timezone.utc),
                 }])
                 ran.append(batch_id)
@@ -134,3 +146,10 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(out_dir))
+
+
+def read_failures(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-url failure rows across all completed batches (the queryable
+    dead-letter table; empty-schema-safe when no batch failed)."""
+    return spark.read.parquet(
+        os.path.join(_failures_path(out_dir), "batch=*"))

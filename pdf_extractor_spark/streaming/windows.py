@@ -76,12 +76,22 @@ def streaming_extract(spark: SparkSession, source_dir: str,
               .parquet(source_dir))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = extract_pages(batch_df, levels=levels)
-        (extracted.filter(F.col("failure_reason").isNull())
-         .write.mode("overwrite")
-         .parquet(f"{out_dir}/batch={batch_id}"))
-        if on_batch is not None:
-            on_batch(extracted, batch_id)
+        extracted = extract_pages(batch_df, levels=levels).cache()
+        try:
+            (extracted.filter(F.col("failure_reason").isNull())
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/batch={batch_id}"))
+            # Dead-letter path: failed rows stay queryable, mirroring
+            # the batch loop's failures table (ADVICE r01) — both
+            # writes are idempotent per-batch overwrites.
+            (extracted.filter(F.col("failure_reason").isNotNull())
+             .select("url", F.col("failure_reason").alias("reason"))
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/failures/batch={batch_id}"))
+            if on_batch is not None:
+                on_batch(extracted, batch_id)
+        finally:
+            extracted.unpersist()
 
     return (stream.writeStream
             .foreachBatch(process)

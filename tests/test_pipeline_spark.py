@@ -155,3 +155,31 @@ class TestResumeLineage:
         agg = lineage.agg(F.sum("rows_in").alias("rin"),
                           F.sum("rows_out").alias("rout")).collect()[0]
         assert agg.rin == 40 and agg.rout == 40
+
+    def test_high_failure_batch_goes_to_failures_table(self, spark,
+                                                       tmp_path):
+        """VERDICT r01 #3: a batch where EVERY row fails must land its
+        per-url failure rows in the failures parquet table via a
+        DataFrame write — lineage keeps only counts (no array<struct>
+        materialized on the driver)."""
+        out_dir = str(tmp_path / "out")
+        n = 50
+        rows = [(f"https://x.example/poison/{i:04d}.pdf", None,
+                 b"%PDF-1.4 garbage", None, "en") for i in range(n)]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+        lin.run_resumable(spark, pages, out_dir, snapshot_id=9,
+                          num_batches=4)
+        failures = lin.read_failures(spark, out_dir)
+        assert failures.count() == n
+        assert set(failures.columns) == {"url", "reason"}
+        assert failures.filter(
+            F.col("reason").contains("PdfParseError")).count() == n
+        lineage = lin.read_lineage(spark, out_dir)
+        assert "failures" not in lineage.columns  # counts only
+        agg = lineage.agg(F.sum("failure_count").alias("fc"),
+                          F.sum("rows_out").alias("rout")).collect()[0]
+        assert agg.fc == n and agg.rout == 0
+        # successful-output table holds nothing for the poison batch
+        assert lin.read_output(spark, out_dir).count() == 0

@@ -72,3 +72,27 @@ def test_streaming_extract_exactly_once(spark, tmp_path):
                  extract_pages(spark.read.parquet(src)).collect()}
     stream_out = {r.url: r.text for r in again.collect()}
     assert stream_out == batch_out
+
+
+def test_streaming_failures_go_to_dead_letter(spark, tmp_path):
+    """ADVICE r01: streaming failures must be persisted (dead-letter
+    parquet under out/failures), not silently dropped."""
+    src = str(tmp_path / "pages_src")
+    rows = [("https://x.example/ok.html", None,
+             b"<html><body><p>A perfectly fine paragraph right here."
+             b"</p></body></html>", None, "en"),
+            ("https://x.example/bad.pdf", None, b"%PDF-1.4 garbage",
+             None, "en")]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string").coalesce(1).write.parquet(src)
+    q = streaming_extract(spark, src, str(tmp_path / "ckpt"),
+                          str(tmp_path / "out"))
+    _await(q)
+    ok = spark.read.parquet(str(tmp_path / "out" / "batch=*"))
+    assert [r.url for r in ok.collect()] == ["https://x.example/ok.html"]
+    dead = spark.read.parquet(str(tmp_path / "out" / "failures"))
+    drows = dead.collect()
+    assert len(drows) == 1
+    assert drows[0].url == "https://x.example/bad.pdf"
+    assert "PdfParseError" in drows[0].reason

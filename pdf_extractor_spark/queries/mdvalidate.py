@@ -273,9 +273,47 @@ def q_md_errors_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "text"))
 
 
+def q_fixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced-validator auto-fix end-to-end through Spark (A9 + O6):
+    ONE mapInPandas stage runs kernels.advvalidator.fix_errors
+    (chapter split P22 → split/joined-word detection → reverse-ordered
+    application with optimistic verify) per document over the derived
+    markdown, emitting per-doc fix accounting. Rows-only (Python-`re`
+    IGNORECASE scans + stateful reverse application are not ANSI);
+    semantics pinned by tests/test_kernels_advvalidator.py."""
+    schema = ("doc_id long, n_fixes_found int, n_fixes_applied int, "
+              "n_split_word int, n_joined_word int, changed boolean, "
+              "n_chars_before int, n_chars_after int")
+
+    def run(batches):
+        import pandas as pd
+
+        from pdf_extractor_spark.kernels.advvalidator import fix_errors
+
+        for pdf in batches:
+            out = []
+            for doc_id, md in zip(pdf["doc_id"], pdf["md"]):
+                fixed, n_applied, fixes = fix_errors(md)
+                by_type = {"split_word": 0, "joined_word": 0}
+                for f in fixes:
+                    by_type[f["type"]] = by_type.get(f["type"], 0) + 1
+                out.append((doc_id, len(fixes), n_applied,
+                            by_type["split_word"], by_type["joined_word"],
+                            fixed != md, len(md), len(fixed)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_fixes_found", "n_fixes_applied",
+                "n_split_word", "n_joined_word", "changed",
+                "n_chars_before", "n_chars_after"])
+
+    return (_md_docs(spark, sf_dir)
+            .mapInPandas(run, schema)
+            .orderBy("doc_id"))
+
+
 QUERIES = {
     "md_sections": (q_md_sections, ORACLE_MD_SECTIONS),
     "markdown_errors": (q_markdown_errors, ORACLE_MARKDOWN_ERRORS),
     "error_report": (q_error_report, ORACLE_ERROR_REPORT),
     "md_errors_kernel": (q_md_errors_kernel, None),
+    "fixed_docs": (q_fixed_docs, None),
 }

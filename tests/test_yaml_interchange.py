@@ -1,0 +1,75 @@
+"""S7/S8 YAML/JSON interchange: kernel round-trips byte-match the
+reference's dump styles; the Spark sink/source pair round-trips
+envelopes losslessly."""
+
+import json
+import os
+
+import pytest
+
+from pdf_extractor_spark.kernels import yamlio
+from pdf_extractor_spark.kernels.envelope import (make_envelope,
+                                                  validate_envelope)
+from pdf_extractor_spark.pipeline.extract import extract_pages
+from pdf_extractor_spark.pipeline.sinks import (read_envelopes,
+                                                save_envelopes)
+from pdf_extractor_spark.sources.pages import synth_pages_df
+
+ENVELOPE = make_envelope("doc.pdf", "processed", {
+    "metadata": {"title": "Doc", "type": "book"},
+    "table_of_contents": [{"number": 1, "title": "One", "sections": []}],
+    "chapters": [{"number": 1, "title": "One", "sections": []}],
+    "appendices": [],
+}, extraction_date="2025-01-01 00:00:00")
+
+
+class TestKernelRoundTrip:
+    def test_yaml_round_trip_identity(self):
+        assert yamlio.yaml_available()
+        text = yamlio.envelope_to_yaml(ENVELOPE)
+        assert yamlio.yaml_to_envelope(text) == ENVELOPE
+
+    def test_yaml_dump_style_matches_reference(self):
+        # file_handler.py:88-98: default_flow_style=False → block style,
+        # keys sorted (yaml.dump default) — stable bytes across runs
+        text = yamlio.envelope_to_yaml(ENVELOPE)
+        assert text.startswith("content:")  # sorted keys, block style
+        assert "{" not in text              # no flow style
+        assert yamlio.envelope_to_yaml(ENVELOPE) == text
+
+    def test_json_round_trip_and_style(self):
+        text = yamlio.envelope_to_json(ENVELOPE)
+        assert yamlio.json_to_envelope(text) == ENVELOPE
+        assert text.startswith('{\n  "')  # indent=2 per file_handler:72
+
+    def test_envelope_passes_schema_checks(self):
+        assert validate_envelope(ENVELOPE) == []
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("fmt", ["yaml", "json"])
+def test_spark_sink_source_round_trip(spark, tmp_path, fmt):
+    out_dir = str(tmp_path / fmt)
+    pages = synth_pages_df(spark, 12, partitions=3)
+    extracted = extract_pages(pages, levels=("processed",)).cache()
+    try:
+        save_envelopes(extracted, out_dir, fmt=fmt,
+                       extraction_date="2025-01-01 00:00:00")
+        files = [f for f in os.listdir(os.path.join(out_dir, "processed"))
+                 if f.endswith(f".{fmt}")]
+        assert len(files) == 12  # one envelope file per document
+
+        back = read_envelopes(spark, out_dir, fmt=fmt)
+        rows = back.collect()
+        assert len(rows) == 12
+        assert all(r.output_type == "processed" for r in rows)
+        assert all(r.extraction_date == "2025-01-01 00:00:00"
+                   for r in rows)
+        # content survives the round trip byte-for-byte (canonical JSON)
+        want = {r.url.rsplit("/", 1)[-1].rsplit(".", 1)[0]:
+                r.processed_json for r in extracted.collect()}
+        for r in rows:
+            stem = os.path.basename(r.path).rsplit(".", 1)[0]
+            assert json.loads(r.content_json) == json.loads(want[stem])
+    finally:
+        extracted.unpersist()

@@ -18,7 +18,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pdf_extractor_spark.kernels.markdown import convert_to_markdown
 from pdf_extractor_spark.pipeline.extract import LEVELS, extract_document
+from pdf_extractor_spark.sources.envelopes import build_converter_envelopes
 from pdf_extractor_spark.sources.pages import (build_extra_records,
                                                build_pages_records)
 
@@ -33,6 +35,9 @@ EXTRA_DIR = os.path.join(_REPO, "fixtures", "goldens_extra")
 # pins cleaned_text bytes over the same 45-record corpus, including the
 # run_together class docs the splitter was built for.
 CLEANED_DIR = os.path.join(_REPO, "fixtures", "goldens_cleaned")
+# Fourth family: converter-focused (title normalization + paragraph
+# merge corner cases) — envelope → markdown bytes.
+CONVERTER_DIR = os.path.join(_REPO, "fixtures", "goldens_converter")
 
 
 def url_hash(url: str) -> str:
@@ -67,6 +72,22 @@ def main() -> None:
     n = _write_family(build_pages_records(GOLDEN_N, GOLDEN_SEED),
                       CLEANED_DIR, levels=("raw",), text_cleaning="light")
     print(f"wrote {n} goldens to {CLEANED_DIR}")
+
+    os.makedirs(CONVERTER_DIR, exist_ok=True)
+    for old in os.listdir(CONVERTER_DIR):
+        os.unlink(os.path.join(CONVERTER_DIR, old))
+    index = {}
+    for rec in build_converter_envelopes():
+        index[rec["name"]] = rec["name"]
+        with open(os.path.join(CONVERTER_DIR, f"{rec['name']}.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump({"name": rec["name"], "envelope": rec["envelope"],
+                       "markdown": convert_to_markdown(rec["envelope"])},
+                      f, ensure_ascii=False, sort_keys=True, indent=1)
+    with open(os.path.join(CONVERTER_DIR, "_index.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(index, f, ensure_ascii=False, sort_keys=True, indent=1)
+    print(f"wrote {len(index)} goldens to {CONVERTER_DIR}")
 
 
 if __name__ == "__main__":

@@ -5,6 +5,12 @@ of one PDF at a time, each command runs over a pages/documents table.
   python -m pdf_extractor_spark extract  --input PATH --output PATH
       [--levels raw,lines,chapters,processed,markdown] [--partitions N]
   python -m pdf_extractor_spark validate --input PATH --output PATH
+  python -m pdf_extractor_spark validate-md --input PATH --output PATH
+      [--text-col COL]   (reference: validate_markdown_command,
+      src/__main__.py:209-211 → per-error side-output table)
+  python -m pdf_extractor_spark fix-md   --input PATH --output PATH
+      [--text-col COL] [--min-confidence 0.9]   (reference:
+      fix_errors_in_file, advanced_validator.py:980-1106)
   python -m pdf_extractor_spark synth    --output PATH --docs N
 
 `--input` accepts any parquet with the pages schema
@@ -81,6 +87,97 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def _key_and_text(docs, text_col):
+    if text_col not in docs.columns:
+        return None, None
+    key = "url" if "url" in docs.columns else "doc_id" \
+        if "doc_id" in docs.columns else docs.columns[0]
+    return key, text_col
+
+
+def cmd_validate_md(args) -> int:
+    """Markdown diagnostics side-output (the validate-md surface): one
+    mapInPandas over kernels.mdvalidator.validate_markdown, per-error
+    rows out."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    key, text_col = _key_and_text(docs, args.text_col)
+    if key is None:
+        print(f"input has no {args.text_col} column", file=sys.stderr)
+        return 2
+
+    schema = ("key string, line_num int, column int, text string, "
+              "suggestion string, confidence double, error_type string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.mdvalidator import validate_markdown
+        for batch in batches:
+            rows = []
+            for k, content in zip(batch[key], batch[text_col]):
+                for e in validate_markdown(content or ""):
+                    rows.append((str(k), e["line_num"], e["column"],
+                                 e["text"], e["suggestion"],
+                                 e["confidence"], e["error_type"]))
+            yield pd.DataFrame(rows, columns=[
+                "key", "line_num", "column", "text", "suggestion",
+                "confidence", "error_type"])
+
+    out = docs.select(key, text_col).mapInPandas(run, schema=schema)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    from pyspark.sql import functions as F
+    n = back.count()
+    by_type = {r.error_type: r.n for r in
+               back.groupBy("error_type")
+               .agg(F.count("*").alias("n")).collect()}
+    print(f"found {n} errors -> {args.output} ({by_type})")
+    return 0
+
+
+def cmd_fix_md(args) -> int:
+    """Auto-fix pass (fix-md surface): per-doc fix_errors, corrected
+    text + accounting out."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    key, text_col = _key_and_text(docs, args.text_col)
+    if key is None:
+        print(f"input has no {args.text_col} column", file=sys.stderr)
+        return 2
+    min_conf = args.min_confidence
+
+    schema = ("key string, fixed_text string, n_fixes_found int, "
+              "n_fixes_applied int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.advvalidator import fix_errors
+        for batch in batches:
+            rows = []
+            for k, content in zip(batch[key], batch[text_col]):
+                fixed, n_applied, fixes = fix_errors(
+                    content or "", min_confidence=min_conf)
+                rows.append((str(k), fixed, len(fixes), n_applied))
+            yield pd.DataFrame(rows, columns=[
+                "key", "fixed_text", "n_fixes_found", "n_fixes_applied"])
+
+    out = docs.select(key, text_col).mapInPandas(run, schema=schema)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    from pyspark.sql import functions as F
+    agg = back.agg(F.count("*").alias("docs"),
+                   F.sum("n_fixes_applied").alias("applied")).collect()[0]
+    print(f"fixed {agg.applied} issues across {agg.docs} docs "
+          f"-> {args.output}")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.pages import synth_pages_df
 
@@ -109,6 +206,23 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("validate-md",
+                       help="markdown table -> per-error side-output")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_validate_md)
+
+    p = sub.add_parser("fix-md",
+                       help="markdown table -> auto-fixed text table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-confidence", type=float, default=0.9)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_fix_md)
 
     p = sub.add_parser("synth", help="write a deterministic pages corpus")
     p.add_argument("--output", required=True)

@@ -117,8 +117,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sizes and the intersections are computed over the SAME
     pruned shingle set, so the Jaccard score stays self-consistent
     (similarity over informative shingles); the DuckDB oracle applies
-    the identical cap. At sf0.1 the cap removes the hot tail only:
-    candidate pairs drop while every top near-dup pair survives."""
+    the identical cap.
+
+    Measured at sf0.1 (10k docs, 27,213 distinct shingles): max
+    document frequency is 25, so the cap of 50 prunes NOTHING there —
+    results are identical with or without it, and the ~10s cost is the
+    1.27M genuine posting-list pairs of the small synthetic
+    vocabulary. The cap exists for the regime the query is designed
+    for: a web corpus where near-universal boilerplate shingles would
+    otherwise put O(n²) pairs behind one skewed shuffle key."""
     docs = _t(spark, sf_dir, "documents")
     all_shingles = (
         docs.select("doc_id",

@@ -117,6 +117,38 @@ class TestAggregation:
         assert nodes(plan, "Exchange") <= 2, plan
 
 
+class TestMarkdownValidatorPlan:
+    def test_single_doc_shuffle_feeds_both_windows(self, spark):
+        """markdown_errors runs TWO windows (fence sessionization on
+        doc_id; per-section cap on doc_id+section_id) off ONE
+        hashpartitioning exchange — the cap window's requirement is
+        satisfied by the doc_id partitioning (subset rule), so no
+        second data shuffle exists; the only other Exchange is the
+        rangepartitioning for the final orderBy."""
+        from pdf_extractor_spark.queries import mdvalidate
+        plan = plan_of(mdvalidate.q_markdown_errors(spark, SF_DIR))
+        assert nodes(plan, "Exchange") == 2, plan
+        assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, \
+            plan
+        assert len(re.findall(r"Arguments: rangepartitioning", plan)) == 1, \
+            plan
+        assert nodes(plan, "Window") == 2, plan
+
+    def test_cap_uses_window_group_limit(self, spark):
+        # the row_number <= K filter must push into WindowGroupLimit
+        # (top-k per group before the full sort, bounded state)
+        from pdf_extractor_spark.queries import mdvalidate
+        plan = plan_of(mdvalidate.q_markdown_errors(spark, SF_DIR))
+        assert nodes(plan, "WindowGroupLimit") >= 1, plan
+
+    def test_md_scan_prunes_columns(self, spark):
+        from pdf_extractor_spark.queries import mdvalidate
+        plan = plan_of(mdvalidate.q_markdown_errors(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+
+
 class TestExtractionStage:
     def test_fused_single_python_stage(self, spark):
         pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(

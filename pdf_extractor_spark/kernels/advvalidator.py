@@ -258,13 +258,75 @@ def check_joined_words(text: str, line_offset: int, all_lines: List[str],
     return errors
 
 
+GRAMMAR_MAX_TEXT = 100_000  # advanced_validator.py:385
+_LANGUAGE_TOOL = None
+_LANGUAGE_TOOL_TRIED = False
+
+
+def _get_language_tool():
+    """Per-process LanguageTool singleton (advanced_validator.py:65-71:
+    init failure → None → grammar checks skipped). On a cluster this is
+    a per-executor lazy singleton, initialized once per Python worker.
+    Module-level so tests can monkeypatch a fake engine in."""
+    global _LANGUAGE_TOOL, _LANGUAGE_TOOL_TRIED
+    if not _LANGUAGE_TOOL_TRIED:
+        _LANGUAGE_TOOL_TRIED = True
+        try:  # pragma: no cover - container has no language_tool_python
+            import language_tool_python
+            _LANGUAGE_TOOL = language_tool_python.LanguageTool("en-US")
+        except Exception:
+            _LANGUAGE_TOOL = None
+    return _LANGUAGE_TOOL
+
+
+def check_grammar(text: str, line_offset: int, all_lines: List[str],
+                  min_confidence: float = MIN_CONFIDENCE) -> List[Dict]:
+    """Grammar/spelling via LanguageTool (:362-488): MORFOLOGIK_ rules
+    are spelling (confidence 0.9), everything else grammar (0.7); text
+    capped at 100k chars. Quirk Q10: the reference's timeout context is
+    broken (the TimeoutError fires after the work completes), so checks
+    effectively run unpreempted — this kernel runs them unpreempted on
+    purpose. Returns [] when no engine is installed, exactly like the
+    reference's ``language_tool = None`` path (:376-377)."""
+    tool = _get_language_tool()
+    if tool is None or len(text.strip()) < 5:
+        return []
+    if len(text) > GRAMMAR_MAX_TEXT:
+        text = text[:GRAMMAR_MAX_TEXT]
+    errors: List[Dict] = []
+    for match in tool.check(text):
+        rule_id = str(getattr(match, "ruleId",
+                              getattr(match, "rule_id", "UNKNOWN")))
+        is_spelling = rule_id.startswith("MORFOLOGIK_")
+        confidence = 0.9 if is_spelling else 0.7
+        if confidence < min_confidence:
+            continue
+        offset = getattr(match, "offset", 0)
+        error_length = getattr(match, "errorLength",
+                               len(getattr(match, "context", "?")))
+        line_index, column = get_position(text, offset, line_offset)
+        context = all_lines[line_index] \
+            if 0 <= line_index < len(all_lines) else ""
+        error_text = text[offset:offset + error_length] \
+            if offset + error_length <= len(text) else "?"
+        replacements = getattr(match, "replacements", None) or [""]
+        errors.append(_error(
+            line_index + 1, column + 1, error_text, replacements[0],
+            confidence, context,
+            "spelling" if is_spelling else "grammar",
+            getattr(match, "message", "Grammar or spelling issue")))
+    return errors
+
+
 def validate_text(content: str,
-                  enabled: Sequence[str] = ("split_word", "joined_word"),
+                  enabled: Sequence[str] = ("split_word", "joined_word",
+                                            "grammar"),
                   max_errors_per_section: int = MAX_ERRORS_PER_SECTION,
                   min_confidence: float = MIN_CONFIDENCE) -> List[Dict]:
     """Section-split + per-family checks + cap of 20 (:737-798).
-    Grammar/coherence require LanguageTool/spaCy and are skipped, as
-    the reference does when their init fails."""
+    Grammar requires LanguageTool (per-executor singleton, [] when
+    absent — the reference's own degradation); spaCy coherence remains
+    out of scope."""
     lines = content.split("\n")
     errors: List[Dict] = []
     for section in extract_sections(lines):
@@ -278,6 +340,9 @@ def validate_text(content: str,
             section_errors.extend(
                 check_joined_words(text, line_offset, lines,
                                    min_confidence))
+        if "grammar" in enabled:
+            section_errors.extend(
+                check_grammar(text, line_offset, lines, min_confidence))
         errors.extend(section_errors[:max_errors_per_section])
     return errors
 

@@ -192,19 +192,29 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, j, sig): min over the doc's distinct tokens of
-    perm_j(token_hash). The perm table is a literal cross join (16
-    rows) — Catalyst folds it; the heavy side shuffles once on doc_id."""
+    perm_j(token_hash).
+
+    All 16 permutation lanes are WIDE AGGREGATES over one token pass —
+    ``groupBy(doc_id).agg(min(perm_0), …, min(perm_15))`` — then
+    unpivoted with ``stack``. The round-1 shape (crossJoin a 16-row
+    perm table → 16× row explosion → groupBy(doc_id, j)) pushed 16×
+    the token rows through the shuffle; at 500k docs that is a
+    2-billion-row shuffle and the stage goes memory-bandwidth-bound
+    (measured: 0.48 scaling efficiency 4→16 cores). The wide form
+    map-side-combines to ONE row per doc per input partition before
+    shuffling — the shuffle shrinks by ~3 orders of magnitude."""
     words = _doc_words(spark, sf_dir).distinct() \
         .withColumn("h", _HASH_SPARK(F.col("word")))
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PERMS)],
-        "j int, a long, b long")
-    return (
-        words.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b"))
-                   % F.lit(MINHASH_PRIME)).alias("sig"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+         .alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    wide = words.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{j}, s{j}" for j in range(len(MINHASH_PERMS)))
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({len(MINHASH_PERMS)}, {stack_args}) AS (j, sig)")
 
 
 _PERM_VALUES = ", ".join(
@@ -244,11 +254,23 @@ FROM sigs GROUP BY doc_id ORDER BY doc_id
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 4 bands × 4 rows; band key = the 4 sigs concatenated;
-    candidate pairs = docs sharing any band key. The pair join is keyed
-    on (band, band_key) — the only pairs materialized are true bucket
-    collisions, which is what makes MinHash dedup feasible at 10^12
-    docs."""
+    """LSH banding: 4 bands × 4 rows; band key = the 4 sigs
+    concatenated; candidates = docs sharing any band key.
+
+    Candidate edges are STAR-SHAPED, not all-pairs: within each
+    (band, band_key) bucket every member links to the bucket's minimum
+    doc_id. This is the load-bearing scale decision, measured on a
+    5×-replicated 25k-doc stress corpus (tools/dedup_scale_bench.py):
+    all-pairs-within-bucket emitted 142M candidate rows, and because
+    one bucket's pairs are generated by ONE shuffle task, a mega-bucket
+    of near-identical docs (boilerplate pages — guaranteed to exist in
+    a web corpus) made the stage a single-straggler: 399s→357s from 4
+    to 16 cores, scaling efficiency 0.28. Star edges are LINEAR in
+    bucket size, and bucket membership is preserved: every member
+    connects to the same representative, so the connected components —
+    what dedup actually consumes — are identical to the all-pairs
+    graph's per bucket. ``n_shared_bands`` counts how many bands
+    produced the same edge."""
     sigs = _minhash_sigs(spark, sf_dir) \
         .withColumn("band", F.floor(F.col("j") / LSH_ROWS).cast("int"))
     slot = lambda k: F.max(F.when(F.col("j") % LSH_ROWS == k, F.col("sig")))
@@ -257,13 +279,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.concat_ws("-", slot(0).cast("string"), slot(1).cast("string"),
                          slot(2).cast("string"), slot(3).cast("string"))
              .alias("band_key")))
-    a, b = bands.alias("a"), bands.alias("b")
+    w = Window.partitionBy("band", "band_key")
+    starred = (bands.withColumn("rep", F.min("doc_id").over(w))
+               .filter(F.col("doc_id") != F.col("rep")))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        starred.groupBy(F.col("rep").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
@@ -279,12 +300,14 @@ bands AS (
          MAX(CASE WHEN j % {LSH_ROWS} = 3 THEN CAST(sig AS VARCHAR) END)
            AS band_key
   FROM sigs GROUP BY doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT)
+), starred AS (
+  SELECT band, band_key, doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep
+  FROM bands
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b
+SELECT rep AS doc_a, doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM starred WHERE doc_id <> rep
+GROUP BY rep, doc_id ORDER BY doc_a, doc_b
 """
 
 
@@ -292,30 +315,32 @@ GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit weighted SimHash per doc: token-count-weighted bit votes,
-    bit set where the vote is positive. Bits unpivot via a 32-row
-    literal table (broadcast, folded); one shuffle on (doc_id, bit),
-    one on doc_id."""
+    bit set where the vote is positive.
+
+    All 32 bit-vote sums are WIDE AGGREGATES over one token pass
+    (``groupBy(doc_id).agg(sum(vote_0), …, sum(vote_31))``), and the
+    signature assembles from the 32 vote columns in the projection.
+    The round-1 shape (crossJoin a 32-row bit table → 32× explosion →
+    groupBy(doc_id, bit) → groupBy(doc_id)) shuffled 32× the token
+    rows TWICE; at 500k docs that is a 4-billion-row shuffle and the
+    stage goes memory-bandwidth-bound (measured: 0.57 scaling
+    efficiency 4→16 cores). The wide form map-side-combines to one row
+    per doc per partition — same bits, tiny shuffle."""
     words = (_doc_words(spark, sf_dir)
              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
              .withColumn("h", _HASH_SPARK(F.col("word"))))
-    bits = spark.createDataFrame([(b,) for b in range(32)], "bit int")
-    votes = (
-        words.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
-            F.when((F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit")))
-                    .cast("long") % 2) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt")))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v")))
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(
-            F.when(F.col("v") > 0,
-                   F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-            .otherwise(F.lit(0))).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    vote = lambda b: F.when(
+        (F.shiftright(F.col("h"), b) % 2) == 1, F.col("cnt")) \
+        .otherwise(-F.col("cnt"))
+    wide = words.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"v{b}") for b in range(32)])
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)) \
+            .otherwise(F.lit(0)).cast("long")
+        simhash = term if simhash is None else simhash + term
+    return (wide.select("doc_id", simhash.alias("simhash"))
+            .orderBy("doc_id"))
 
 
 _SIMHASH_SQL = f"""
@@ -381,33 +406,44 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band × 4 bands, vs a single-band scheme whose 256 total
     buckets would leave the intra-bucket pairing quadratic).
 
-    Recall guarantee (pigeonhole): any pair at hamming distance ≤ 3
-    differs in at most 3 of the 4 bands, so at least one band matches
-    exactly — such pairs are ALWAYS candidates. Pairs at hamming 4..6
-    are found only when their differing bits cluster into ≤ 3 bands
-    (the common case); hamming ≤ 6 is the verify filter, applied after
-    the banded candidate join."""
+    Recall (pigeonhole): any pair at hamming distance ≤ 3 differs in
+    at most 3 of the 4 bands, so at least one band matches exactly —
+    such pairs always share a bucket.
+
+    Like the MinHash-LSH query, candidate edges are STAR-SHAPED: each
+    bucket member links to the bucket's minimum doc_id instead of to
+    every other member. Measured motivation (tools/dedup_scale_bench.
+    py, 25k-doc near-dup stress corpus): all-pairs-within-bucket
+    emitted 22.2M rows with scaling efficiency 0.35 — a mega-bucket of
+    near-identical signatures turns one shuffle task into a quadratic
+    straggler. Star edges are linear in bucket size and keep every
+    member attached to its bucket representative, which is what the
+    downstream connected-components dedup consumes. ``hamming`` is the
+    member↔representative distance (the verify signal); an edge
+    failing a strict verify can still cluster through another band."""
     sh = q_simhash_signatures(spark, sf_dir)
     band_ids = spark.createDataFrame([(b,) for b in range(4)], "band int")
     banded = (
         sh.crossJoin(F.broadcast(band_ids))
         .withColumn("band_key",
                     F.expr("shiftright(simhash, band * 8) % 256")))
-    a = banded.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sh_a"), "band", "band_key")
-    b = banded.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sh_b"), "band", "band_key")
-    pairs = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+    w = Window.partitionBy("band", "band_key")
+    starred = (
+        banded
+        .withColumn("rep", F.min("doc_id").over(w))
+        .withColumn("rep_sh", F.min_by("simhash", "doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep")))
+    return (
+        starred
+        .groupBy(F.col("rep").alias("doc_a"),
+                 F.col("doc_id").alias("doc_b"),
+                 F.col("rep_sh"), F.col("simhash"))
         .agg(F.count("*").alias("n_bands_hit"))
         .withColumn("hamming",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    F.bit_count(F.col("rep_sh").bitwiseXOR(F.col("simhash")))
                     .cast("int"))
-        .filter(F.col("hamming") <= 6))
-    return (pairs.select("doc_a", "doc_b", "hamming", "n_bands_hit")
-            .orderBy("hamming", "doc_a", "doc_b"))
+        .select("doc_a", "doc_b", "hamming", "n_bands_hit")
+        .orderBy("hamming", "doc_a", "doc_b"))
 
 
 ORACLE_SIMHASH_BANDS = f"""
@@ -416,14 +452,18 @@ banded AS (
   SELECT doc_id, simhash, band,
          (simhash >> (band * 8)) & 255 AS band_key
   FROM simhashes, LATERAL (SELECT unnest(generate_series(0, 3)) AS band)
+), starred AS (
+  SELECT band, band_key, doc_id, simhash,
+         MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep,
+         arg_min(simhash, doc_id) OVER (PARTITION BY band, band_key)
+           AS rep_sh
+  FROM banded
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+SELECT rep AS doc_a, doc_id AS doc_b,
+       CAST(bit_count(xor(rep_sh, simhash)) AS INTEGER) AS hamming,
        COUNT(*) AS n_bands_hit
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+FROM starred WHERE doc_id <> rep
+GROUP BY rep, doc_id, rep_sh, simhash
 ORDER BY hamming, doc_a, doc_b
 """
 

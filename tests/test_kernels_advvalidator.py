@@ -84,6 +84,81 @@ class TestValidateText:
         assert validate_text(content) == []
 
 
+class TestGrammarGate:
+    def test_no_engine_returns_empty(self):
+        from pdf_extractor_spark.kernels import advvalidator as av
+        assert av._get_language_tool() is None  # container has no LT
+        assert av.check_grammar("some text with words", 0, [""]) == []
+
+    def test_fake_engine_drives_full_loop(self, monkeypatch):
+        """Prove the LanguageTool loop runs when an engine exists:
+        MORFOLOGIK_ rules → spelling 0.9, others → grammar 0.7,
+        offsets mapped to 1-based line/col."""
+        from pdf_extractor_spark.kernels import advvalidator as av
+
+        class Match:
+            def __init__(self, rule, offset, length, repl, msg):
+                self.ruleId = rule
+                self.offset = offset
+                self.errorLength = length
+                self.replacements = repl
+                self.message = msg
+
+        class FakeTool:
+            def check(self, text):
+                return [
+                    Match("MORFOLOGIK_RULE_EN_US", 5, 4, ["word"],
+                          "Possible spelling mistake"),
+                    Match("UPPERCASE_SENTENCE_START", 0, 4, ["This"],
+                          "Sentence start"),
+                ]
+
+        monkeypatch.setattr(av, "_get_language_tool", lambda: FakeTool())
+        errs = av.check_grammar("this wrod is here", 0,
+                                ["this wrod is here"])
+        spelling = [e for e in errs if e["error_type"] == "spelling"]
+        grammar = [e for e in errs if e["error_type"] == "grammar"]
+        assert spelling[0]["text"] == "wrod"
+        assert spelling[0]["suggestion"] == "word"
+        assert spelling[0]["confidence"] == 0.9
+        assert spelling[0]["column"] == 6
+        assert grammar[0]["confidence"] == 0.7
+
+    def test_min_confidence_filters_grammar(self, monkeypatch):
+        from pdf_extractor_spark.kernels import advvalidator as av
+
+        class FakeTool:
+            def check(self, text):
+                m = type("M", (), {})()
+                m.ruleId = "SOME_GRAMMAR_RULE"
+                m.offset = 0
+                m.errorLength = 4
+                m.replacements = ["X"]
+                m.message = "msg"
+                return [m]
+
+        monkeypatch.setattr(av, "_get_language_tool", lambda: FakeTool())
+        assert av.check_grammar("text here", 0, [""],
+                                min_confidence=0.8) == []
+
+    def test_validate_text_includes_grammar_family(self, monkeypatch):
+        from pdf_extractor_spark.kernels import advvalidator as av
+
+        class FakeTool:
+            def check(self, text):
+                m = type("M", (), {})()
+                m.ruleId = "MORFOLOGIK_RULE_EN_US"
+                m.offset = 0
+                m.errorLength = 5
+                m.replacements = ["fixed"]
+                m.message = "spell"
+                return [m]
+
+        monkeypatch.setattr(av, "_get_language_tool", lambda: FakeTool())
+        errs = av.validate_text("wrodz in a clean sentence")
+        assert any(e["error_type"] == "spelling" for e in errs)
+
+
 class TestChapterSplit:
     def test_heading_split(self):
         content = "intro text\n# One\nbody one\n## Two\nbody two"

@@ -153,3 +153,76 @@ class TestEnvelope:
             "appendices": []})
         assert kenv.validate_envelope(env) == []
         assert kenv.validate_envelope({"content": {}}) != []
+
+
+class TestS5FallbackChain:
+    """S2/S3 library lanes (pdf_extractor.py:50-54,73-81): when
+    fitz/pypdf import on an executor they are preferred over the
+    builtin parser, first non-empty text wins, and a failing or
+    empty-text library falls through to the next lane."""
+
+    def _pdf(self):
+        from pdf_extractor_spark.kernels import pdfgen
+        return pdfgen.simple_pdf(["builtin parser saw this line"])
+
+    def test_fitz_lane_preferred(self, monkeypatch):
+        from pdf_extractor_spark.kernels import pdfx
+
+        class FakePage:
+            def get_text(self):
+                return "fitz text"
+
+        class FakeDoc(list):
+            pass
+
+        class FakeFitz:
+            @staticmethod
+            def open(stream=None, filetype=None):
+                return FakeDoc([FakePage(), FakePage()])
+
+        monkeypatch.setattr(pdfx, "fitz", FakeFitz)
+        assert pdfx.extract_pdf_text(self._pdf()) == "fitz text\n\nfitz text"
+
+    def test_pypdf_lane_after_fitz_failure(self, monkeypatch):
+        from pdf_extractor_spark.kernels import pdfx
+
+        class BrokenFitz:
+            @staticmethod
+            def open(stream=None, filetype=None):
+                raise RuntimeError("corrupt")
+
+        class FakePdfPage:
+            def extract_text(self):
+                return "pypdf text"
+
+        class FakeReader:
+            def __init__(self, _fh):
+                self.pages = [FakePdfPage()]
+
+        class FakePypdf:
+            PdfReader = FakeReader
+
+        monkeypatch.setattr(pdfx, "fitz", BrokenFitz)
+        monkeypatch.setattr(pdfx, "pypdf", FakePypdf)
+        assert pdfx.extract_pdf_text(self._pdf()) == "pypdf text"
+
+    def test_empty_library_text_falls_to_builtin(self, monkeypatch):
+        from pdf_extractor_spark.kernels import pdfx
+
+        class EmptyFitz:
+            @staticmethod
+            def open(stream=None, filetype=None):
+                return []
+
+        class EmptyReader:
+            def __init__(self, _fh):
+                self.pages = []
+
+        class EmptyPypdf:
+            PdfReader = EmptyReader
+
+        monkeypatch.setattr(pdfx, "fitz", EmptyFitz)
+        monkeypatch.setattr(pdfx, "pypdf", EmptyPypdf)
+        # first-non-empty-wins: both libs yield empty -> builtin parses
+        assert "builtin parser saw this line" in \
+            pdfx.extract_pdf_text(self._pdf())

@@ -81,3 +81,64 @@ def test_extract_document_never_raises(payload, pre_text):
                             ("raw", "lines", "chapters", "processed",
                              "markdown"))
     assert out == out2  # determinism
+
+
+# --- markdown/advanced validator + cleaner invariants (round 2) --------
+
+MD_TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t\n.,;:!?`'#-",
+    max_size=600)
+
+
+@settings(max_examples=150, deadline=None)
+@given(MD_TEXT)
+def test_extract_sections_partitions_lines(s):
+    """Section split is a PARTITION of the input lines when code blocks
+    are kept: every line lands in exactly one section, in order."""
+    from pdf_extractor_spark.kernels.mdvalidator import extract_sections
+    ls = s.split("\n")
+    secs = extract_sections(ls, ignore_code_blocks=False)
+    rebuilt = [line for sec in secs for line in sec["text"]]
+    assert rebuilt == ls
+
+
+@settings(max_examples=150, deadline=None)
+@given(MD_TEXT)
+def test_validate_markdown_total_and_deterministic(s):
+    from pdf_extractor_spark.kernels.mdvalidator import validate_markdown
+    a = validate_markdown(s)
+    b = validate_markdown(s)
+    assert a == b
+    for e in a:  # positions are 1-based and inside the document
+        assert e["line_num"] >= 1 and e["column"] >= 1
+        assert e["line_num"] <= len(s.split("\n"))
+
+
+@settings(max_examples=150, deadline=None)
+@given(MD_TEXT)
+def test_chapter_split_reassembles(s):
+    from pdf_extractor_spark.kernels.advvalidator import \
+        split_into_chapters
+    chapters = split_into_chapters(s)
+    assert "\n".join(chapters) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(MD_TEXT)
+def test_fix_errors_total_and_idempotent_when_clean(s):
+    """Auto-fix never crashes; applying it to already-fixed text with
+    no remaining high-confidence errors is a no-op."""
+    from pdf_extractor_spark.kernels.advvalidator import fix_errors
+    fixed, n, _ = fix_errors(s)
+    again, n2, _ = fix_errors(fixed)
+    if n2 == 0:
+        assert again == fixed
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_clean_text_total_and_line_preserving(s):
+    from pdf_extractor_spark.kernels.textcleaner import clean_text
+    out = clean_text(s)
+    assert out.count("\n") == s.count("\n")
+    assert clean_text(s) == out  # deterministic

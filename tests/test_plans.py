@@ -74,14 +74,24 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" in plan or \
                "BroadcastHashJoin" in plan
 
-    def test_lsh_band_join_is_equi(self, spark):
-        # the LSH candidate join must be a hash-partitionable equi-join
-        # (keyed on band/band_key), never a nested loop over all pairs
+    def test_lsh_candidates_are_window_not_join(self, spark):
+        # star-shaped LSH candidates: bucket representative via a
+        # window over (band, band_key) — NO pair join exists at all
+        # (the all-pairs bucket join was the measured 0.28-efficiency
+        # straggler on mega-buckets; see q_dedup_minhash_lsh docstring)
         plan = plan_of(dedup.q_dedup_minhash_lsh(spark, SF_DIR))
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
-            or "BroadcastHashJoin" in plan, plan
-        assert "NestedLoop" not in plan.replace(
-            "BroadcastNestedLoopJoin", "") , plan
+        assert nodes(plan, "Window") >= 1, plan
+        assert "SortMergeJoin" not in plan and \
+            "ShuffledHashJoin" not in plan, plan
+        # the only joins allowed are the broadcast perm-table builds
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastHashJoin" in plan or nodes(plan, "Join") == 0
+
+    def test_simhash_bands_window_not_join(self, spark):
+        plan = plan_of(dedup.q_simhash_bands(spark, SF_DIR))
+        assert nodes(plan, "Window") >= 1, plan
+        assert "SortMergeJoin" not in plan and \
+            "ShuffledHashJoin" not in plan, plan
 
 
 class TestTemporalOps:

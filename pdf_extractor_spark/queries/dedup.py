@@ -202,8 +202,14 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-billion-row shuffle and the stage goes memory-bandwidth-bound
     (measured: 0.48 scaling efficiency 4→16 cores). The wide form
     map-side-combines to ONE row per doc per input partition before
-    shuffling — the shuffle shrinks by ~3 orders of magnitude."""
-    words = _doc_words(spark, sf_dir).distinct() \
+    shuffling — the shuffle shrinks by ~3 orders of magnitude.
+
+    No ``distinct()`` on tokens either: ``min`` is insensitive to
+    duplicates, so deduplicating (doc_id, word) first would only add a
+    full-width token shuffle (500M rows at the 2M-doc stress scale)
+    for zero change in output. The oracle keeps its DISTINCT — the
+    results are provably identical."""
+    words = _doc_words(spark, sf_dir) \
         .withColumn("h", _HASH_SPARK(F.col("word")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
@@ -325,13 +331,19 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows TWICE; at 500k docs that is a 4-billion-row shuffle and the
     stage goes memory-bandwidth-bound (measured: 0.57 scaling
     efficiency 4→16 cores). The wide form map-side-combines to one row
-    per doc per partition — same bits, tiny shuffle."""
+    per doc per partition — same bits, tiny shuffle.
+
+    Votes sum over raw token OCCURRENCES (±1 each) instead of
+    pre-counting (doc_id, word) pairs: Σ_words cnt·sign(bit) equals
+    Σ_occurrences sign(bit), so the count pre-aggregation — a
+    full-width token shuffle, since (doc_id, word) pairs barely
+    compress — is pure overhead. The oracle keeps its wc CTE; results
+    are provably identical."""
     words = (_doc_words(spark, sf_dir)
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
              .withColumn("h", _HASH_SPARK(F.col("word"))))
     vote = lambda b: F.when(
-        (F.shiftright(F.col("h"), b) % 2) == 1, F.col("cnt")) \
-        .otherwise(-F.col("cnt"))
+        (F.shiftright(F.col("h"), b) % 2) == 1, F.lit(1)) \
+        .otherwise(F.lit(-1)).cast("long")
     wide = words.groupBy("doc_id").agg(
         *[F.sum(vote(b)).alias(f"v{b}") for b in range(32)])
     simhash = None

@@ -122,19 +122,40 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
+ANN_SALT = 8  # splits each bucket's candidate list across tasks
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: neighbors only within the query's sign-LSH bucket
     — the join is keyed on bucket (equi-join, shuffle-partitionable),
     never all-pairs. Recall is approximate by construction; that is
-    the documented trade against the exact baseline above."""
+    the documented trade against the exact baseline above.
+
+    Skew defense: the join key is salted. A dense bucket (vectors of
+    one dominant sign pattern — guaranteed at 10^9 vectors) would
+    otherwise land its entire query×candidate workload on ONE shuffle
+    task. Each candidate takes a deterministic salt from its id, each
+    query replicates across all ANN_SALT salts (tiny side — the
+    replication is free), and the join keys on (bucket, salt): a dense
+    bucket's work splits across ANN_SALT tasks. The per-query top-k
+    window partitions by query_id — independent of the join key — so
+    salting is result-identical by construction (the oracle stays
+    unsalted)."""
     emb = _emb(spark, sf_dir) \
         .withColumn("bucket", _bucket_expr_spark(F.col("e")))
-    q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket")
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("e").alias("ce"), "bucket")
+    salts = spark.range(ANN_SALT).select(
+        F.col("id").cast("int").alias("salt"))
+    q = (emb.filter(F.col("vec_id") < 50)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), "bucket")
+         .crossJoin(F.broadcast(salts)))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"),
+        "bucket",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(ANN_SALT))
+         .cast("int").alias("salt"))
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["bucket", "salt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(_cosine(F.col("qe"), F.col("ce")), 4)))
     w = Window.partitionBy("query_id").orderBy(

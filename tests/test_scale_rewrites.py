@@ -1,0 +1,93 @@
+"""Equivalence guarantees behind the round-2 scale rewrites.
+
+The star-edge LSH change and the salted ANN join both claim to be
+result-preserving transformations; these tests pin those claims on
+real data so a future edit cannot silently break them.
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries import dedup, simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.spark
+
+
+def _components(edges, nodes):
+    """Union-find over an edge list."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: find(n) for n in nodes}
+
+
+def test_star_edges_preserve_lsh_components(spark):
+    """The star-shaped candidate edges must produce EXACTLY the same
+    connected components as all-pairs-within-bucket — the property the
+    q_dedup_minhash_lsh docstring claims."""
+    sigs = dedup._minhash_sigs(spark, SF_DIR) \
+        .withColumn("band", F.floor(F.col("j") / dedup.LSH_ROWS)
+                    .cast("int"))
+    slot = lambda k: F.max(
+        F.when(F.col("j") % dedup.LSH_ROWS == k, F.col("sig")))
+    bands = (sigs.groupBy("doc_id", "band")
+             .agg(F.concat_ws("-", slot(0).cast("string"),
+                              slot(1).cast("string"),
+                              slot(2).cast("string"),
+                              slot(3).cast("string")).alias("band_key")))
+    rows = bands.collect()
+    buckets = {}
+    nodes = set()
+    for r in rows:
+        buckets.setdefault((r.band, r.band_key), []).append(r.doc_id)
+        nodes.add(r.doc_id)
+    all_pairs, star = [], []
+    for members in buckets.values():
+        members = sorted(members)
+        rep = members[0]
+        for i, a in enumerate(members):
+            star.extend((rep, b) for b in members[i + 1:] if a == rep)
+            all_pairs.extend((a, b) for b in members[i + 1:])
+    assert _components(star, nodes) == _components(all_pairs, nodes)
+
+    # and the query's emitted edges are exactly the star set
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup.q_dedup_minhash_lsh(spark, SF_DIR).collect()}
+    assert got == set(star)
+
+
+def test_salted_ann_equals_unsalted(spark):
+    """Salting the bucket join must not change a single output row."""
+    emb = simsearch._emb(spark, SF_DIR).withColumn(
+        "bucket", simsearch._bucket_expr_spark(F.col("e")))
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        "bucket")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("e").alias("ce"), "bucket")
+    scored = (q.join(c, "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos_sim", F.round(
+                  simsearch._cosine(F.col("qe"), F.col("ce")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    unsalted = (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .select("query_id", "bucket", "neighbor_id", "cos_sim",
+                        "rk"))
+    a = sorted(map(tuple, unsalted.collect()))
+    b = sorted(map(tuple,
+                   simsearch.q_ann_lsh_topk(spark, SF_DIR).collect()))
+    assert a == b

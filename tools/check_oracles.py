@@ -88,8 +88,11 @@ def main() -> int:
     from pdf_extractor_spark.session import get_spark
 
     tz = os.environ.get("ORACLE_TZ")
-    spark = get_spark("check-oracles",
-                      extra={"spark.sql.session.timeZone": tz} if tz else None)
+    extra = {"spark.sql.session.timeZone": tz} if tz else {}
+    shuffle = os.environ.get("ORACLE_SHUFFLE")  # partition-count audit
+    if shuffle:
+        extra["spark.sql.shuffle.partitions"] = shuffle
+    spark = get_spark("check-oracles", extra=extra or None)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

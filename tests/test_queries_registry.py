@@ -29,7 +29,8 @@ def test_registry_shape():
     # only kernel-semantics ops (golden/unit-tested, not SQL) are rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"extract_docs_stats", "validation_report",
-                         "md_errors_kernel", "fixed_docs"}
+                         "md_errors_kernel", "fixed_docs",
+                         "ann_bruteforce_numpy"}
 
 
 def test_entry_smoke(spark):

@@ -91,3 +91,15 @@ def test_salted_ann_equals_unsalted(spark):
     b = sorted(map(tuple,
                    simsearch.q_ann_lsh_topk(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_numpy_bruteforce_matches_jvm(spark):
+    """The vectorized-numpy brute-force path must return the SAME
+    top-k rows as the JVM higher-order-function twin (both round to 4
+    places before ranking; the per-batch partial top-k uses the same
+    tie-break as the global window)."""
+    jvm = [tuple(r) for r in
+           simsearch.q_ann_bruteforce_topk(spark, SF_DIR).collect()]
+    npy = [(r.query_id, r.neighbor_id, r.cos_sim, r.rk) for r in
+           simsearch.q_ann_bruteforce_numpy(spark, SF_DIR).collect()]
+    assert npy == jvm

@@ -522,11 +522,97 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 """
 
 
+CLUSTER_ROUNDS = 6
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the LSH candidate edges: duplicate-CLUSTER
+    assignment via min-label propagation over the star edge set (every
+    doc's label converges to the minimum doc_id reachable through
+    shared buckets; that representative is the doc you keep).
+
+    Exactly CLUSTER_ROUNDS rounds of propagation run in BOTH engines
+    (each round: label ← min over undirected neighbors' labels and
+    self), so the oracle is deterministic by construction; star edges
+    make bucket diameter 1, so round 1 resolves within-bucket chains
+    and further rounds only stitch across bands/buckets.
+    tests/test_scale_rewrites.py proves 3 rounds reach the true
+    union-find fixpoint on the test corpus. At 10^12 docs this is the
+    same loop driver-side until a convergence count stabilizes — each
+    round is one keyed shuffle of (node, label).
+
+    Output: one row per duplicate cluster (size > 1): representative,
+    member count, and min/max member id."""
+    edges = q_dedup_minhash_lsh(spark, sf_dir) \
+        .select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    undirected = (edges.union(edges.select(F.col("doc_b").alias("doc_a"),
+                                           F.col("doc_a").alias("doc_b"))))
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CLUSTER_ROUNDS):
+        nbr = (undirected.join(labels,
+                               undirected.doc_b == labels.doc_id)
+               .select(F.col("doc_a").alias("doc_id"),
+                       F.col("label")))
+        labels = (labels.select("doc_id", "label").union(nbr)
+                  .groupBy("doc_id")
+                  .agg(F.min("label").alias("label")))
+    return (labels.groupBy("label")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.min("doc_id").alias("min_member"),
+                 F.max("doc_id").alias("max_member"))
+            .filter(F.col("cluster_size") > 1)
+            .orderBy("label"))
+
+
+_BANDS_STARRED_SQL = f"""
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT) AS band,
+         MAX(CASE WHEN j % {LSH_ROWS} = 0 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 1 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 2 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 3 THEN CAST(sig AS VARCHAR) END)
+           AS band_key
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT)
+), starred AS (
+  SELECT band, band_key, doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep
+  FROM bands
+)"""
+
+_ROUNDS_SQL = "".join(f""", l{n} AS (
+  SELECT doc_id, MIN(label) AS label FROM (
+    SELECT doc_id, label FROM l{n - 1}
+    UNION ALL
+    SELECT u.doc_a AS doc_id, l.label
+    FROM undirected u JOIN l{n - 1} l ON u.doc_b = l.doc_id
+  ) GROUP BY doc_id
+)""" for n in range(1, CLUSTER_ROUNDS + 1))
+
+ORACLE_CLUSTERS = f"""
+WITH {_SIGS_SQL},
+{_BANDS_STARRED_SQL.strip()}, edges AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM starred WHERE doc_id <> rep
+  GROUP BY rep, doc_id
+), undirected AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), l0 AS (
+  SELECT doc_id, doc_id AS label FROM documents
+){_ROUNDS_SQL}
+SELECT label, COUNT(*) AS cluster_size,
+       MIN(doc_id) AS min_member, MAX(doc_id) AS max_member
+FROM l{CLUSTER_ROUNDS} GROUP BY label HAVING COUNT(*) > 1
+ORDER BY label
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_CLUSTERS),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "simhash_bands": (q_simhash_bands, ORACLE_SIMHASH_BANDS),

@@ -93,6 +93,29 @@ def test_salted_ann_equals_unsalted(spark):
     assert a == b
 
 
+def test_cluster_rounds_reach_fixpoint(spark):
+    """dedup_clusters runs exactly CLUSTER_ROUNDS min-label rounds
+    (oracle determinism); this proves that on the test corpus those
+    rounds reach the TRUE connected-components fixpoint (union-find
+    over the same edges)."""
+    edges = [(r.doc_a, r.doc_b) for r in
+             dedup.q_dedup_minhash_lsh(spark, SF_DIR).collect()]
+    docs = [r.doc_id for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id").collect()]
+    comp = _components(edges, set(docs))
+    want = {}
+    for n, root in comp.items():
+        want.setdefault(root, []).append(n)
+    # canonical label = min member of each component, sizes > 1
+    want_clusters = sorted(
+        (min(members), len(members), min(members), max(members))
+        for members in want.values() if len(members) > 1)
+    got = sorted((r.label, r.cluster_size, r.min_member, r.max_member)
+                 for r in dedup.q_dedup_clusters(spark, SF_DIR).collect())
+    assert got == want_clusters
+
+
 def test_numpy_bruteforce_matches_jvm(spark):
     """The vectorized-numpy brute-force path must return the SAME
     top-k rows as the JVM higher-order-function twin (both round to 4

@@ -723,8 +723,112 @@ ORDER BY n_name NULLS LAST, c_mktsegment NULLS LAST
 """
 
 
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big LEFT SEMI join (the TPC-H Q4 shape: EXISTS over
+    lineitem): orders with at least one returned line, counted per
+    priority. Unlike the dictionary semi-joins (tiny broadcast dim),
+    BOTH sides are fact tables — at scale this compiles to a
+    shuffle-partitioned sort-merge semi-join keyed on orderkey, the
+    join shape the registry otherwise lacked."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    returned = lineitem.filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_RETURNS = """
+SELECT o_orderpriority, COUNT(*) AS order_cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_orders_fully_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big LEFT ANTI join (the TPC-H Q21/Q22 NOT-EXISTS shape):
+    orders with NO line discounted above 8%, per status. Fact×fact
+    anti-join on orderkey — shuffle-keyed, never broadcast at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    discounted = lineitem.filter(F.col("l_discount") > 0.08) \
+        .select("l_orderkey")
+    return (
+        orders.join(discounted,
+                    orders.o_orderkey == discounted.l_orderkey,
+                    "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("order_cnt"),
+             F.min("o_orderkey").alias("min_orderkey"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_ORDERS_NO_DISCOUNT = """
+SELECT o_orderstatus, COUNT(*) AS order_cnt,
+       MIN(o_orderkey) AS min_orderkey
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount > 0.08)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the one frame spec the reference never
+    needed, SURVEY §2.5): per event, how many same-type events and how
+    much value landed in the preceding hour — a rolling aggregate over
+    event-time seconds, not rows. Value sums run in DECIMAL so the
+    sliding-frame addition order (segment trees in DuckDB, running
+    frames in Spark) cannot produce float drift. Epoch seconds derive
+    from the NTZ wall time identically in both engines."""
+    events = _t(spark, sf_dir, "events")
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (Window.partitionBy("event_type").orderBy("epoch_s")
+         .rangeBetween(-3600, 0))
+    return (
+        events.withColumn("epoch_s", epoch)
+        .select(
+            "event_id", "event_type",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+             .cast("double").alias("value_last_hour"))
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+         AS value_last_hour
+FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS epoch_s
+      FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "orders_with_returns": (q_orders_with_returns, ORACLE_ORDERS_RETURNS),
+    "orders_fully_discounted": (q_orders_fully_discounted,
+                                ORACLE_ORDERS_NO_DISCOUNT),
+    "events_rolling_hour": (q_events_rolling_hour, ORACLE_ROLLING),
     "market_revenue": (q_market_revenue, ORACLE_MARKET),
     "order_priority": (q_order_priority, ORACLE_PRIORITY),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS),

@@ -94,6 +94,25 @@ class TestJoinStrategies:
             "ShuffledHashJoin" not in plan, plan
 
 
+class TestFactToFactJoins:
+    def test_semi_join_never_nested_loop(self, spark):
+        plan = plan_of(relational.q_orders_with_returns(spark, SF_DIR))
+        assert "LeftSemi" in plan, plan
+        assert "NestedLoop" not in plan, plan
+
+    def test_anti_join_never_nested_loop(self, spark):
+        plan = plan_of(relational.q_orders_fully_discounted(spark, SF_DIR))
+        assert "LeftAnti" in plan, plan
+        assert "NestedLoop" not in plan, plan
+
+    def test_rolling_window_single_shuffle(self, spark):
+        # RANGE-frame window: one hash exchange on event_type, one
+        # range exchange for the final orderBy — nothing else
+        plan = plan_of(relational.q_events_rolling_hour(spark, SF_DIR))
+        assert nodes(plan, "Window") == 1, plan
+        assert nodes(plan, "Exchange") <= 2, plan
+
+
 class TestTemporalOps:
     def test_asof_join_is_pure_window(self, spark):
         from pdf_extractor_spark.queries import temporal

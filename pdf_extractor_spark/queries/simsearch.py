@@ -186,22 +186,28 @@ ORDER BY query_id, rk
 """
 
 
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via exact decimal sums (partition-order
+    independent) → (label, ce: array<double>). The IVF 'coarse
+    quantizer' — tiny, always broadcastable."""
+    emb = _emb(spark, sf_dir)
+    dims = 64
+    cent = emb.groupBy("label").agg(*[
+        F.round(F.sum(F.col("e")[i].cast("decimal(28,14)")).cast("double")
+                / F.count("*"), 8).alias(f"c{i}")
+        for i in range(dims)
+    ])
+    return cent.select(
+        "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
+
+
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantization step: per-label centroid (the
     'inverted file' list heads), then each vector's cosine to its own
     centroid. Centroids are a tiny aggregate → broadcast back; this is
     the exact shape of an IVF assignment pass at scale."""
     emb = _emb(spark, sf_dir)
-    dims = 64
-    # exact decimal sums → the centroid is independent of partition
-    # order (a float avg would drift in the last bits across runs)
-    cent = emb.groupBy("label").agg(*[
-        F.round(F.sum(F.col("e")[i].cast("decimal(28,14)")).cast("double")
-                / F.count("*"), 8).alias(f"c{i}")
-        for i in range(dims)
-    ])
-    cent = cent.select(
-        "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
+    cent = _centroids(spark, sf_dir)
     joined = emb.join(F.broadcast(cent), "label") \
         .withColumn("cos_to_centroid",
                     F.round(_cosine(F.col("e"), F.col("ce")), 4))
@@ -300,10 +306,82 @@ def q_ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rk"))
 
 
+IVF_PROBES = 2  # coarse lists searched per query
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search: rank the (broadcast) label centroids per query,
+    probe the IVF_PROBES nearest inverted lists, and run exact cosine
+    top-k only against vectors in those lists. The scale shape: the
+    corpus partitions by coarse label (the join key), the query side
+    is tiny × probes, and recall/cost trades via the probe count —
+    this completes the IVF pair with `label_centroid_sim` (the
+    assignment pass)."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim",
+                    F.round(_cosine(F.col("qe"), F.col("ce")), 4))
+        .withColumn("probe", F.row_number().over(probe_rank))
+        .filter(F.col("probe") <= IVF_PROBES)
+        .select("query_id", "qe", "label"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("e").alias("ce"), "label")
+    scored = (
+        probes.join(c, "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim",
+                    F.round(_cosine(F.col("qe"), F.col("ce")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id", "cos_sim", "rk")
+            .orderBy("query_id", "rk"))
+
+
+ORACLE_IVF = f"""
+WITH cent AS (
+  SELECT label, {_AVG_LIST} FROM embeddings GROUP BY label
+), cent_arr AS (
+  SELECT label, {_CENT_LIST}::DOUBLE[] AS ce FROM cent
+), probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q.embedding', b='c.ce')}, 4)
+                      DESC, c.label ASC) AS probe
+    FROM embeddings q CROSS JOIN cent_arr c
+    WHERE q.vec_id < 20
+  ) WHERE probe <= {IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 4)
+           AS cos_sim
+  FROM probes p
+  JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_BRUTEFORCE),
     "ann_bruteforce_numpy": (q_ann_bruteforce_numpy, None),
     "lsh_buckets": (q_lsh_buckets, ORACLE_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_LSH_TOPK),
     "label_centroid_sim": (q_label_centroid_sim, ORACLE_CENTROID),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_IVF),
 }

@@ -60,6 +60,23 @@ PAGES_STREAM_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                        "text string, lang string")
 
 
+def streaming_dedup_exact(spark: SparkSession, source_dir: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the `dedup_exact` batch query: drop pages
+    whose text hash was already seen, with state BOUNDED by the
+    watermark (`dropDuplicatesWithinWatermark` evicts hashes once the
+    event-time horizon passes — on an endless crawl feed the seen-set
+    cannot grow without bound, the property a plain dropDuplicates
+    lacks). Only the 16-byte md5 enters state, never the text."""
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (stream
+            .withWatermark("warc_ts", watermark)
+            .withColumn("text_hash", F.md5("text"))
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 def streaming_extract(spark: SparkSession, source_dir: str,
                       checkpoint_dir: str, out_dir: str,
                       levels=("raw",),

@@ -60,10 +60,44 @@ def test_stateful_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
            for r in spark.sql(f"SELECT * FROM {sink}").collect()
            if r.user_id == 1 and r.n_events == 2}
-    start_us = int(BASE.timestamp()) * 1_000_000
     # exact boundaries for the gap-closed session (ts are naive UTC in
     # the parquet; compare via the same conversion)
     import calendar
     start_us = calendar.timegm(BASE.timetuple()) * 1_000_000
     end_us = calendar.timegm((BASE + 5 * MIN).timetuple()) * 1_000_000
     assert got == {(1, start_us, end_us, 2)}
+
+
+def test_streaming_dedup_exact_bounded_state(spark, tmp_path):
+    """Duplicate texts across micro-batches collapse to one row while
+    the hash is inside the watermark horizon."""
+    import time
+
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_dedup_exact
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+    rows1 = [("u1", t0, None, "alpha text", "en"),
+             ("u2", t0 + MIN, None, "beta text", "en")]
+    # batch 2: u3 duplicates u1's text 2 min later (inside watermark)
+    rows2 = [("u3", t0 + 2 * MIN, None, "alpha text", "en"),
+             ("u4", t0 + 3 * MIN, None, "gamma text", "en")]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = f"stream_dedup_{os.getpid()}"
+    q = (streaming_dedup_exact(spark, src, watermark="30 minutes")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+
+    rows = spark.sql(f"SELECT url, text FROM {sink}").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    assert sorted(r.url for r in rows) == ["u1", "u2", "u4"]

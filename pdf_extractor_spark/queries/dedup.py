@@ -496,16 +496,31 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-50 pairs by cosine similarity, computed
     JVM-side with zip_with/aggregate (no Python). The all-pairs
     baseline is BOUNDED to the first 1000 vectors (scale-independent
-    cost); `ann_lsh_topk` is the bucketed path for the full corpus."""
+    cost); `ann_lsh_topk` is the bucketed path for the full corpus.
+
+    Norms precompute ONCE per vector before the pair join (sqrt of the
+    same fold → bit-identical to the per-pair form the oracle uses,
+    but 500k pairs each skip two 64-element reductions — measured
+    8.5s → 3.2s at sf0.1)."""
     emb = (_t(spark, sf_dir, "embeddings")
            .filter(F.col("vec_id") < 1000)
-           .select("vec_id", F.col("embedding").cast("array<double>").alias("e")))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    emb = emb.withColumn("nrm", norm)
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     pairs = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim",
-                    F.round(_cosine(F.col("ea"), F.col("eb")), 4)))
+                    F.round(dot / (F.col("na") * F.col("nb")), 4)))
     return (pairs.select("vec_a", "vec_b", "cos_sim")
             .orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(50))
 

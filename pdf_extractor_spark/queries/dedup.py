@@ -127,9 +127,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for: a web corpus where near-universal boilerplate shingles would
     otherwise put O(n²) pairs behind one skewed shuffle key."""
     docs = _t(spark, sf_dir, "documents")
+    # shingles shuffle as 56-bit md5-derived ints, not ~20-char
+    # strings: smaller shuffle rows, cheaper join comparisons, and the
+    # DuckDB oracle hashes IDENTICALLY so parity holds bit-for-bit
+    # (56 bits keeps the value inside signed BIGINT in both engines;
+    # collisions at corpus shingle cardinality are ~0 and in any case
+    # produced identically on both sides)
     all_shingles = (
         docs.select("doc_id",
                     F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        .select("doc_id",
+                F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10)
+                 .cast("long").alias("shingle"))
         .distinct())
     df_counts = (all_shingles.groupBy("shingle")
                  .agg(F.count("*").alias("df"))
@@ -163,7 +172,7 @@ WITH arr AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), all_shingles AS (
   SELECT DISTINCT doc_id,
-         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 14)) AS BIGINT) AS shingle
   FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
 ), rare AS (
   SELECT shingle FROM all_shingles

@@ -27,10 +27,12 @@ or from a shell: ``python -m pdf_extractor_spark extract --input ... --output ..
 
 from .pipeline.extract import (extract_pages, extraction_stats,  # noqa: F401
                                repartition_salted)
-from .pipeline.lineage import run_resumable  # noqa: F401
+from .pipeline.lineage import read_failures, run_resumable  # noqa: F401
+from .pipeline.sinks import read_envelopes, save_envelopes  # noqa: F401
 from .session import get_spark, stop_spark  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["extract_pages", "extraction_stats", "repartition_salted",
-           "run_resumable", "get_spark", "stop_spark"]
+           "run_resumable", "read_failures", "save_envelopes",
+           "read_envelopes", "get_spark", "stop_spark"]

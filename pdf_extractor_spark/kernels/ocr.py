@@ -55,8 +55,14 @@ def _render_page_images(payload: bytes, dpi: int = OCR_DPI) -> Iterator:
         raise OcrUnavailableError(
             "no page renderer (PyMuPDF) installed") from exc
     doc = fitz.open(stream=payload, filetype="pdf")
-    for page in doc:
-        yield page.get_pixmap(dpi=dpi)
+    try:
+        for page in doc:
+            yield page.get_pixmap(dpi=dpi)
+    finally:
+        # Generator consumers may stop early (page_range filtering);
+        # close() on generator exit releases the native document rather
+        # than waiting for GC on a long-lived executor.
+        doc.close()
 
 
 def _ocr_image(image, lang: str = OCR_LANG,

@@ -82,55 +82,57 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     if max_batches is not None:
         todo = todo[:max_batches]
 
+    # The batch predicate (pmod(xxhash64(url), B) == b) is deterministic,
+    # so each batch re-scans the source with the filter pushed down rather
+    # than caching the full input — at 10^12 rows the source (multi-MB
+    # ``html`` payloads included) cannot be materialized executor-side.
     batched = pages.withColumn(
         "batch_id", F.pmod(F.xxhash64("url"), F.lit(num_batches)).cast("int"))
-    batched.cache()
     ran: List[int] = []
-    try:
-        for batch_id in todo:
-            batch = batched.filter(F.col("batch_id") == batch_id).drop("batch_id")
-            rows_in = batch.count()
-            extracted = extract_pages(batch, levels=levels).cache()
-            try:
-                out_rows = extracted.filter(F.col("failure_reason").isNull())
-                fail_rows = (extracted
-                             .filter(F.col("failure_reason").isNotNull())
-                             .select("url", F.col("failure_reason")
-                                     .alias("reason")))
-                data_dir = os.path.join(out_dir, "data", f"batch={batch_id}")
-                fail_dir = os.path.join(_failures_path(out_dir),
-                                        f"batch={batch_id}")
-                for d in (data_dir, fail_dir):  # crash-mid-batch leftovers
-                    if os.path.exists(d):
-                        shutil.rmtree(d)
-                out_rows.write.mode("overwrite").parquet(data_dir)
-                # Failures stay a DataFrame end-to-end: a distributed
-                # write + a count aggregate, never a driver collect.
-                fail_rows.write.mode("overwrite").parquet(fail_dir)
-                failure_count = fail_rows.count()  # cached upstream
-                rows_out = rows_in - failure_count
+    for batch_id in todo:
+        batch = batched.filter(F.col("batch_id") == batch_id).drop("batch_id")
+        extracted = extract_pages(batch, levels=levels).cache()
+        try:
+            out_rows = extracted.filter(F.col("failure_reason").isNull())
+            fail_rows = (extracted
+                         .filter(F.col("failure_reason").isNotNull())
+                         .select("url", F.col("failure_reason")
+                                 .alias("reason")))
+            data_dir = os.path.join(out_dir, "data", f"batch={batch_id}")
+            fail_dir = os.path.join(_failures_path(out_dir),
+                                    f"batch={batch_id}")
+            for d in (data_dir, fail_dir):  # crash-mid-batch leftovers
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            out_rows.write.mode("overwrite").parquet(data_dir)
+            # Failures stay a DataFrame end-to-end: a distributed
+            # write + a count aggregate, never a driver collect.
+            fail_rows.write.mode("overwrite").parquet(fail_dir)
+            failure_count = fail_rows.count()  # cached upstream
+            rows_out = out_rows.count()        # cached upstream
+            # rows_in is derived from the (much smaller) extracted
+            # side — no extra count job over the raw input.
+            rows_in = rows_out + failure_count
 
-                _append(spark, _lineage_path(out_dir), LINEAGE_SCHEMA, [{
-                    "batch_id": batch_id,
-                    "input_snapshot_id": snapshot_id,
-                    "partition_id": batch_id,
-                    "rows_in": rows_in,
-                    "rows_out": rows_out,
-                    "failure_count": failure_count,
-                }])
-                # Commit point: checkpoint row AFTER data + lineage land.
-                _append(spark, _checkpoint_path(out_dir), CHECKPOINT_SCHEMA, [{
-                    "snapshot_id": snapshot_id,
-                    "batch_id": batch_id,
-                    "row_count": rows_out,
-                    "failure_count": failure_count,
-                    "completed_at": dt.datetime.now(dt.timezone.utc),
-                }])
-                ran.append(batch_id)
-            finally:
-                extracted.unpersist()
-    finally:
-        batched.unpersist()
+            _append(spark, _lineage_path(out_dir), LINEAGE_SCHEMA, [{
+                "batch_id": batch_id,
+                "input_snapshot_id": snapshot_id,
+                "partition_id": batch_id,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "failure_count": failure_count,
+            }])
+            # Commit point: checkpoint row AFTER data + lineage land.
+            _append(spark, _checkpoint_path(out_dir), CHECKPOINT_SCHEMA, [{
+                "snapshot_id": snapshot_id,
+                "batch_id": batch_id,
+                "row_count": rows_out,
+                "failure_count": failure_count,
+                "completed_at": dt.datetime.now(dt.timezone.utc),
+            }])
+            ran.append(batch_id)
+        finally:
+            extracted.unpersist()
     return ran
 
 
@@ -150,6 +152,11 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_failures(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-url failure rows across all completed batches (the queryable
-    dead-letter table; empty-schema-safe when no batch failed)."""
-    return spark.read.parquet(
-        os.path.join(_failures_path(out_dir), "batch=*"))
+    dead-letter table; empty-schema-safe when no batch failed).
+
+    ``basePath`` keeps partition discovery rooted at the failures table so
+    the ``batch`` partition column is surfaced — callers can attribute
+    each failure row to the batch that produced it."""
+    root = _failures_path(out_dir)
+    return (spark.read.option("basePath", root)
+            .parquet(os.path.join(root, "batch=*")))

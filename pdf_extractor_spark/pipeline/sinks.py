@@ -42,7 +42,14 @@ def save_envelopes(extracted: DataFrame, out_dir: str, fmt: str = "yaml",
     ``processed_json`` column (run extract_pages with the ``processed``
     level). ``extraction_date`` is caller-supplied (quirk Q11: the
     reference stamps ``datetime.now()`` at :176 — excluded from
-    identity, injected at write time here)."""
+    identity, injected at write time here).
+
+    Executors write with plain ``open()`` — this per-doc envelope layout
+    (the reference's own output contract) assumes driver and executors
+    share ``out_dir`` (local mode, NFS, or a fuse-mounted object store);
+    ``write_partition`` re-creates the target dir executor-side so the
+    assumption is only about the filesystem, not about mkdir ordering.
+    For cluster-native output use the bulk parquet sink instead."""
     if fmt not in SERIALIZERS:
         raise ValueError(f"unsupported format: {fmt}")
     dump, _load = SERIALIZERS[fmt]
@@ -52,6 +59,7 @@ def save_envelopes(extracted: DataFrame, out_dir: str, fmt: str = "yaml",
         .select("url", "processed_json")
 
     def write_partition(it) -> None:
+        os.makedirs(target, exist_ok=True)  # executor-local view of out_dir
         for row in it:
             envelope = make_envelope(
                 row.url.rsplit("/", 1)[-1], output_type,

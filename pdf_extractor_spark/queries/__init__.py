@@ -20,9 +20,14 @@ from . import (dedup, extraction, mdvalidate, relational, simsearch,
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Module order IS the driver-visible order: the correctness driver checks the
+# first 50 registry entries, so the newest / least-historied modules go first
+# and the long-green relational demos absorb the >50 overflow (every relational
+# query has a hash-green row in CORRECTNESS_r01/r02; the tail is additionally
+# re-verified each round via ``tools/check_oracles.py``).
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
-for mod in (relational, dedup, simsearch, textstats, temporal, extraction,
-            mdvalidate):
+for mod in (extraction, mdvalidate, dedup, simsearch, textstats, temporal,
+            relational):
     overlap = set(REGISTRY) & set(mod.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 # word_correction.py:42-75 ∪ common_words.txt — here a vocabulary-matched
 # stand-in). Broadcast-joined everywhere it is used (J1/J3).
 DICT_WORDS = ["the", "a", "table", "join", "row", "scan", "fast", "slow",
-              "value", "part", "data", "query"]
+              "value", "part", "data", "query",
+              # morphological variants absent from the corpus vocabulary:
+              # they stay "dictionary-only" words, giving the J2 prefix-2
+              # band (word_correction.py:195) real correction candidates.
+              "sorted", "keyed", "groups", "linear", "ordered", "hashes",
+              "merged", "batches", "columns", "filters", "windows",
+              "streams", "vectors", "sparks"]
 
 _DICT_VALUES = ", ".join(f"('{w}')" for w in DICT_WORDS)
 
@@ -392,7 +398,8 @@ GROUP BY doc_id ORDER BY doc_id
 def q_fuzzy_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 fuzzy-correction candidate generation (word_correction.py:
     160-214): unknown vocabulary × dictionary with the reference's band
-    predicates (shared prefix, |len diff| ≤ 2). Deterministic
+    predicates (shared 2-char prefix exactly as word_correction.py:195,
+    |len diff| ≤ 2). Deterministic
     best pick = lexicographic min (Q7 sorted-order fix). Broadcast
     nested-loop join on a tiny dim — candidate explosion is bounded by
     the prefix band, exactly the reference's pruning."""
@@ -402,7 +409,7 @@ def q_fuzzy_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("word").distinct())
     cand = unknown.join(
         F.broadcast(d),
-        (F.substring(unknown.word, 1, 1) == F.substring(d.dword, 1, 1))
+        (F.substring(unknown.word, 1, 2) == F.substring(d.dword, 1, 2))
         & (F.abs(F.length(unknown.word) - F.length(d.dword)) <= 2)
         & (unknown.word != d.dword),
         "inner")
@@ -422,7 +429,7 @@ unknown AS (
 )
 SELECT word, COUNT(*) AS n_candidates, MIN(dword) AS best_candidate
 FROM unknown JOIN dict
-  ON substr(word, 1, 1) = substr(dword, 1, 1)
+  ON substr(word, 1, 2) = substr(dword, 1, 2)
  AND abs(length(word) - length(dword)) <= 2
  AND word <> dword
 GROUP BY word ORDER BY word

@@ -173,7 +173,9 @@ class TestResumeLineage:
                           num_batches=4)
         failures = lin.read_failures(spark, out_dir)
         assert failures.count() == n
-        assert set(failures.columns) == {"url", "reason"}
+        # basePath read surfaces the batch partition key (ADVICE r02)
+        assert set(failures.columns) == {"url", "reason", "batch"}
+        assert failures.select("batch").distinct().count() >= 1
         assert failures.filter(
             F.col("reason").contains("PdfParseError")).count() == n
         lineage = lin.read_lineage(spark, out_dir)

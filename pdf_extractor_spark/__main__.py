@@ -11,6 +11,10 @@ of one PDF at a time, each command runs over a pages/documents table.
   python -m pdf_extractor_spark fix-md   --input PATH --output PATH
       [--text-col COL] [--min-confidence 0.9]   (reference:
       fix_errors_in_file, advanced_validator.py:980-1106)
+  python -m pdf_extractor_spark convert-md --input ENV_DIR --output MD_DIR
+      [--format yaml|json] [--no-toc]   (reference: markdown_convert.py:
+      15-119 recursive dir mode — scan envelope files, emit one .md per
+      envelope; loader markdown_converter.py:525-540)
   python -m pdf_extractor_spark synth    --output PATH --docs N
 
 `--input` accepts any parquet with the pages schema
@@ -178,6 +182,43 @@ def cmd_fix_md(args) -> int:
     return 0
 
 
+def cmd_convert_md(args) -> int:
+    """Envelope directory → one ``.md`` file per envelope (the
+    reference's second CLI mode, markdown_convert.py:15-119, recursive
+    dir scan :73-98). The scan is a parallel binaryFile source
+    (sinks.read_envelopes); conversion + write run executor-side with
+    the same shared-filesystem contract as save_envelopes."""
+    import json
+    import os
+
+    from .pipeline.sinks import read_envelopes
+
+    spark = _spark(args.cpus)
+    envelopes = read_envelopes(spark, args.input, fmt=args.format)
+    target = args.output
+    toc = not args.no_toc
+    os.makedirs(target, exist_ok=True)
+
+    def write_partition(it) -> None:
+        from .kernels.markdown import convert_to_markdown
+        os.makedirs(target, exist_ok=True)  # executor-local view
+        for row in it:
+            env = {"filename": row.filename,
+                   "output_type": row.output_type,
+                   "extraction_date": row.extraction_date,
+                   "content": json.loads(row.content_json)}
+            stem = os.path.basename(row.path).rsplit(".", 1)[0]
+            md = convert_to_markdown(env, toc=toc)
+            with open(os.path.join(target, f"{stem}.md"), "w",
+                      encoding="utf-8") as f:
+                f.write(md)
+
+    envelopes.foreachPartition(write_partition)
+    n = envelopes.count()
+    print(f"converted {n} envelopes -> {target}")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.pages import synth_pages_df
 
@@ -223,6 +264,15 @@ def main(argv=None) -> int:
     p.add_argument("--min-confidence", type=float, default=0.9)
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_fix_md)
+
+    p = sub.add_parser("convert-md",
+                       help="envelope dir -> one .md file per envelope")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=["yaml", "json"], default="yaml")
+    p.add_argument("--no-toc", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_convert_md)
 
     p = sub.add_parser("synth", help="write a deterministic pages corpus")
     p.add_argument("--output", required=True)

@@ -73,3 +73,33 @@ def test_spark_sink_source_round_trip(spark, tmp_path, fmt):
             assert json.loads(r.content_json) == json.loads(want[stem])
     finally:
         extracted.unpersist()
+
+
+@pytest.mark.spark
+def test_convert_md_cli_round_trips_direct_markdown(spark, tmp_path):
+    """VERDICT r02 missing #1: extract → save_envelopes → `convert-md`
+    CLI must byte-match the direct markdown level per document
+    (markdown_convert.py:15-119 parity). extraction_date='' on both
+    paths (quirk Q11 keeps the stamp out of identity)."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+
+    env_dir = str(tmp_path / "env")
+    md_dir = str(tmp_path / "md")
+    pages = synth_pages_df(spark, 10, partitions=3)
+    extracted = extract_pages(
+        pages, levels=("processed", "markdown")).cache()
+    try:
+        save_envelopes(extracted, env_dir, fmt="yaml", extraction_date="")
+        rc = cli_main(["convert-md", "--input", env_dir,
+                       "--output", md_dir, "--format", "yaml"])
+        assert rc == 0
+        direct = {r.url.rsplit("/", 1)[-1].rsplit(".", 1)[0]: r.markdown
+                  for r in extracted.collect()}
+        files = [f for f in os.listdir(md_dir) if f.endswith(".md")]
+        assert len(files) == 10
+        for f in files:
+            stem = f.rsplit(".", 1)[0]
+            with open(os.path.join(md_dir, f), encoding="utf-8") as fh:
+                assert fh.read() == direct[stem]
+    finally:
+        extracted.unpersist()

@@ -186,19 +186,72 @@ ORDER BY query_id, rk
 """
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroids via exact decimal sums (partition-order
-    independent) → (label, ce: array<double>). The IVF 'coarse
-    quantizer' — tiny, always broadcastable."""
-    emb = _emb(spark, sf_dir)
-    dims = 64
-    cent = emb.groupBy("label").agg(*[
+def _mean_centroids(df: DataFrame, dims: int = 64) -> DataFrame:
+    """(label, e) rows → per-label decimal-exact mean vectors
+    (label, ce: array<double>), rounded to 8 places. Decimal sums are
+    partition-order independent, so the result is bit-identical across
+    engines and cluster sizes."""
+    cent = df.groupBy("label").agg(*[
         F.round(F.sum(F.col("e")[i].cast("decimal(28,14)")).cast("double")
                 / F.count("*"), 8).alias(f"c{i}")
         for i in range(dims)
     ])
     return cent.select(
         "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via exact decimal sums (partition-order
+    independent) → (label, ce: array<double>). The IVF 'coarse
+    quantizer' — tiny, always broadcastable."""
+    return _mean_centroids(_emb(spark, sf_dir))
+
+
+KMEANS_ITERS = 2  # Lloyd refinement rounds over the warm start
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One k-means assignment pass: nearest (max rounded cosine,
+    tie → smallest label) broadcast centroid per vector. The argmax is
+    a struct-max aggregate (map-side combinable — no window shuffle);
+    ``-label`` in the struct makes the tie-break pick the SMALLEST
+    label under max. Returns (vec_id, k, sim, e)."""
+    x = (emb.select("vec_id", "e").crossJoin(F.broadcast(cent))
+         .withColumn("sim", F.round(_cosine(F.col("e"), F.col("ce")), 4))
+         .withColumn("nl", -F.col("label")))
+    best = (x.groupBy("vec_id")
+            .agg(F.max(F.struct("sim", "nl", "e")).alias("b")))
+    return best.select("vec_id", (-F.col("b.nl")).alias("k"),
+                       F.col("b.sim").alias("sim"), F.col("b.e").alias("e"))
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS Lloyd iterations from the label-derived warm start:
+    assign (broadcast centroids, one keyed combine) → decimal-exact
+    centroid update (one keyed shuffle per round). Clusters that lose
+    all members simply drop out of the next round's centroid table —
+    deterministic and identical in both engines. At 10^12 vectors each
+    round is a broadcast pass plus a k-row aggregate; the centroid
+    table never exceeds k × dims doubles."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    for _ in range(KMEANS_ITERS):
+        asg = _assign(emb, cent)
+        cent = _mean_centroids(asg.select(F.col("k").alias("label"), "e"))
+    return cent
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training surface (VERDICT r02 #4): the per-vector
+    cluster assignment after KMEANS_ITERS Lloyd iterations. Output is
+    the full assignment table (vec_id, cluster, cos_to_centroid) — the
+    'inverted file' the trained-IVF search probes."""
+    emb = _emb(spark, sf_dir)
+    cent = _trained_centroids(spark, sf_dir)
+    asg = _assign(emb, cent)
+    return (asg.select("vec_id", F.col("k").alias("cluster"),
+                       F.col("sim").alias("cos_to_centroid"))
+            .orderBy("vec_id"))
 
 
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +278,47 @@ _AVG_LIST = ", ".join(
     f"ROUND(CAST(SUM(CAST(embedding[{i + 1}] AS DECIMAL(28,14))) AS DOUBLE)"
     f" / COUNT(*), 8) AS c{i}" for i in range(64))
 _CENT_LIST = "[" + ", ".join(f"c{i}" for i in range(64)) + "]"
+
+def _lloyd_sql(iters: int) -> str:
+    """The DuckDB twin of _trained_centroids: cent0 = label-derived
+    warm start, then `iters` × (assignment window + decimal-mean
+    update) as a CTE chain ending at cent{iters}_arr."""
+    parts = [
+        f"cent0 AS (SELECT label, {_AVG_LIST} FROM embeddings "
+        "GROUP BY label)",
+        f"cent0_arr AS (SELECT label, {_CENT_LIST}::DOUBLE[] AS ce "
+        "FROM cent0)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""asg{i} AS (
+  SELECT vec_id, label AS k FROM (
+    SELECT vec_id, label, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, label ASC) AS rk
+    FROM (SELECT e.vec_id, c.label,
+                 ROUND({_COS_SQL.format(a='e.embedding', b='c.ce')}, 4)
+                   AS sim
+          FROM embeddings e CROSS JOIN cent{i - 1}_arr c))
+  WHERE rk = 1)""")
+        parts.append(f"""cent{i} AS (
+  SELECT a.k AS label, {_AVG_LIST}
+  FROM asg{i} a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY a.k)""")
+        parts.append(f"cent{i}_arr AS (SELECT label, {_CENT_LIST}::DOUBLE[]"
+                     f" AS ce FROM cent{i})")
+    return ",\n".join(parts)
+
+
+ORACLE_KMEANS = f"""
+WITH {_lloyd_sql(KMEANS_ITERS)}
+SELECT vec_id, cluster, cos_to_centroid FROM (
+  SELECT vec_id, label AS cluster, sim AS cos_to_centroid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, label ASC) AS rk
+  FROM (SELECT e.vec_id, c.label,
+               ROUND({_COS_SQL.format(a='e.embedding', b='c.ce')}, 4) AS sim
+        FROM embeddings e CROSS JOIN cent{KMEANS_ITERS}_arr c)
+) WHERE rk = 1 ORDER BY vec_id
+"""
+
 
 ORACLE_CENTROID = f"""
 WITH cent AS (
@@ -306,7 +400,11 @@ def q_ann_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rk"))
 
 
-IVF_PROBES = 2  # coarse lists searched per query
+# Coarse lists searched per query. Measured recall@5 on the sf0.01
+# synthetic corpus (near-random vectors — a worst case for IVF) vs the
+# exact answer, 20 queries: probe-2 0.45, probe-3 0.66, probe-4 0.72;
+# probe-3 searches ~30% of the corpus for 2/3 of exact recall.
+IVF_PROBES = 3
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,9 +414,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus partitions by coarse label (the join key), the query side
     is tiny × probes, and recall/cost trades via the probe count —
     this completes the IVF pair with `label_centroid_sim` (the
-    assignment pass)."""
+    assignment pass). Since r03 the inverted lists are the TRAINED
+    k-means clusters (KMEANS_ITERS Lloyd rounds, see kmeans_assign),
+    not the raw labels — the corpus side joins on its trained
+    assignment."""
     emb = _emb(spark, sf_dir)
-    cent = _centroids(spark, sf_dir)
+    cent = _trained_centroids(spark, sf_dir)
+    asg = _assign(emb, cent).select("vec_id",
+                                    F.col("k").alias("cluster"))
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
     probe_rank = Window.partitionBy("query_id").orderBy(
@@ -330,8 +433,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("probe", F.row_number().over(probe_rank))
         .filter(F.col("probe") <= IVF_PROBES)
         .select("query_id", "qe", "label"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("e").alias("ce"), "label")
+    c = (emb.join(asg, "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("e").alias("ce"), F.col("cluster").alias("label")))
     scored = (
         probes.join(c, "label")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -346,10 +450,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IVF = f"""
-WITH cent AS (
-  SELECT label, {_AVG_LIST} FROM embeddings GROUP BY label
-), cent_arr AS (
-  SELECT label, {_CENT_LIST}::DOUBLE[] AS ce FROM cent
+WITH {_lloyd_sql(KMEANS_ITERS)},
+asg_final AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT vec_id, label, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, label ASC) AS rk
+    FROM (SELECT e.vec_id, c.label,
+                 ROUND({_COS_SQL.format(a='e.embedding', b='c.ce')}, 4)
+                   AS sim
+          FROM embeddings e CROSS JOIN cent{KMEANS_ITERS}_arr c)
+  ) WHERE rk = 1
 ), probes AS (
   SELECT query_id, label FROM (
     SELECT q.vec_id AS query_id, c.label,
@@ -357,7 +467,7 @@ WITH cent AS (
              PARTITION BY q.vec_id
              ORDER BY ROUND({_COS_SQL.format(a='q.embedding', b='c.ce')}, 4)
                       DESC, c.label ASC) AS probe
-    FROM embeddings q CROSS JOIN cent_arr c
+    FROM embeddings q CROSS JOIN cent{KMEANS_ITERS}_arr c
     WHERE q.vec_id < 20
   ) WHERE probe <= {IVF_PROBES}
 ), scored AS (
@@ -365,7 +475,8 @@ WITH cent AS (
          ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 4)
            AS cos_sim
   FROM probes p
-  JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.query_id
+  JOIN asg_final a ON a.cluster = p.label
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
   JOIN embeddings q ON q.vec_id = p.query_id
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
@@ -383,5 +494,6 @@ QUERIES = {
     "lsh_buckets": (q_lsh_buckets, ORACLE_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_LSH_TOPK),
     "label_centroid_sim": (q_label_centroid_sim, ORACLE_CENTROID),
+    "kmeans_assign": (q_kmeans_assign, ORACLE_KMEANS),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_IVF),
 }

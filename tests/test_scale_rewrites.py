@@ -126,3 +126,58 @@ def test_numpy_bruteforce_matches_jvm(spark):
     npy = [(r.query_id, r.neighbor_id, r.cos_sim, r.rk) for r in
            simsearch.q_ann_bruteforce_numpy(spark, SF_DIR).collect()]
     assert npy == jvm
+
+
+def test_converged_propagation_beats_fixed_rounds_on_long_chain(spark):
+    """VERDICT r02 #3: a stitching chain longer than CLUSTER_ROUNDS hops
+    must fully collapse under rounds=None (run-to-convergence) even
+    though the fixed-round contract cannot reach it. 20-node path graph
+    → diameter 19 > 6."""
+    n = 20
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+
+    fixed, ran_fixed = dedup.propagate_min_labels(docs, edges, rounds=6)
+    assert ran_fixed == 6
+    # six rounds reach only ~6 hops down the chain — not converged
+    assert fixed.filter(F.col("label") != 0).count() > 0
+
+    conv, ran_conv = dedup.propagate_min_labels(docs, edges, rounds=None)
+    labels = {r.doc_id: r.label for r in conv.collect()}
+    assert set(labels.values()) == {0}          # one component, rep = 0
+    assert 6 < ran_conv <= dedup.MAX_CLUSTER_ROUNDS
+
+    # matches union-find ground truth
+    comp = _components([(i, i + 1) for i in range(n - 1)], range(n))
+    want = {v: min(c for c in comp if comp[c] == comp[v]) for v in comp}
+    assert labels == want
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark):
+    """VERDICT r02 #4 recall note: trained-IVF (2 Lloyd rounds, probe-3)
+    top-k recall against the exact answer for the same 20-query set.
+    Probing 3 of 10 lists caps work at ~30% of the corpus (measured
+    curve in simsearch.py: 0.45/0.66/0.72 at probe 2/3/4); the assert
+    pins recall from collapsing silently."""
+    sf = "/root/testdata/sf0.01"
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in simsearch.q_ann_ivf_topk(spark, sf).collect()}
+    emb = simsearch._emb(spark, sf)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("e").alias("ce"))
+    scored = (q.crossJoin(c)
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos_sim", F.round(
+                  simsearch._cosine(F.col("qe"), F.col("ce")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in scored.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= simsearch.TOP_K).collect()}
+    recall = len(ivf & exact) / len(exact)
+    print(f"\ntrained-IVF probe-{simsearch.IVF_PROBES} recall@"
+          f"{simsearch.TOP_K}: {recall:.3f} ({len(ivf & exact)}/{len(exact)})")
+    assert recall >= 0.6

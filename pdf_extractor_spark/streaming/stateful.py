@@ -22,6 +22,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .windows import EVENTS_SCHEMA
@@ -87,5 +88,97 @@ def streaming_sessionize(spark: SparkSession, source_dir: str,
                 _sessionize_group,
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# --- TTL'd per-key dedup cache (VERDICT r02 #8) -----------------------------
+
+DEDUP_TTL_US = 60 * 60 * 1_000_000  # 1 hour
+
+PAGES_STREAM_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                       "text string, lang string")
+DEDUP_OUTPUT_SCHEMA = ("key string, url string, text_hash string, "
+                       "is_dup boolean, cache_size int, evicted int")
+DEDUP_STATE_SCHEMA = "hashes array<string>, expires array<long>"
+
+
+def _dedup_cache_group(key: Tuple[Any, ...],
+                       pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-key seen-hash cache with TTL semantics
+    ``dropDuplicatesWithinWatermark`` cannot express: a re-sighting
+    inside the TTL is flagged (not silently dropped) AND refreshes the
+    entry's TTL; entries expire relative to event time; a quiet key's
+    whole cache evicts on event-time timeout, emitting an accounting
+    row (url NULL, evicted = n entries dropped)."""
+    import hashlib
+
+    (k,) = key
+    cols = ["key", "url", "text_hash", "is_dup", "cache_size", "evicted"]
+
+    if state.hasTimedOut:
+        hashes, _expires = state.get
+        state.remove()
+        yield pd.DataFrame([(k, None, None, False, 0, len(hashes))],
+                           columns=cols)
+        return
+
+    cache: dict = {}
+    if state.exists:
+        hashes, expires = state.get
+        cache = dict(zip(hashes, expires))
+
+    rows = []
+    for pdf in pdfs:
+        for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+            rows.append((int(ts.value) // 1000, str(url), text or ""))
+    rows.sort()  # (event time, url) — deterministic across partitionings
+
+    out = []
+    max_ts = 0
+    for ts_us, url, text in rows:
+        max_ts = max(max_ts, ts_us)
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        exp = cache.get(h)
+        is_dup = exp is not None and exp > ts_us
+        cache[h] = ts_us + DEDUP_TTL_US  # insert or TTL refresh
+        out.append((k, url, h, is_dup, len(cache), 0))
+    # event-time pruning: drop entries whose TTL lapsed before the
+    # newest event this batch — the in-dict eviction path
+    cache = {h: e for h, e in cache.items() if e > max_ts}
+
+    if cache:
+        state.update((list(cache.keys()), list(cache.values())))
+        # whole-key eviction once the watermark passes every entry's TTL
+        state.setTimeoutTimestamp(max(cache.values()) // 1000)
+    else:
+        state.remove()
+    yield pd.DataFrame(out, columns=cols)
+
+
+def streaming_dedup_cache(spark: SparkSession, source_dir: str,
+                          key_col: str = "lang",
+                          watermark: str = "1 minute") -> DataFrame:
+    """readStream(pages) → per-``key_col`` stateful dedup cache.
+
+    State per key: parallel (hash, expiry) arrays — 16-byte hashes
+    only, never text, pruned by TTL each batch and evicted wholesale on
+    event-time timeout, so an endless crawl feed holds O(distinct live
+    hashes per key) state. Emits EVERY row with its dup verdict
+    (append mode) — the streaming twin of `dedup_exact` when filtered
+    to ``is_dup = false``, plus the accounting rows a silent
+    drop-duplicates can never surface."""
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (stream
+            .withWatermark("warc_ts", watermark)
+            .withColumn("key", F.col(key_col))
+            .groupBy("key")
+            .applyInPandasWithState(
+                _dedup_cache_group,
+                outputStructType=DEDUP_OUTPUT_SCHEMA,
+                stateStructType=DEDUP_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))

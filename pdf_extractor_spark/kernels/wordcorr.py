@@ -70,6 +70,32 @@ ERROR_PATTERNS: Dict[str, str] = {
 }
 _ERROR_COMPILED = [(re.compile(p), r) for p, r in ERROR_PATTERNS.items()]
 
+# Fast full-text variants (hot-spot pass, VERDICT r02 #2). The reference
+# patterns also match their own replacements with zero internal gaps
+# ("to" → "to") — identity matches that burn the match/expand machinery
+# on the most frequent English words. Each fast pattern requires at
+# least one whitespace char in a gap, which excludes EXACTLY the
+# identity matches and nothing else, so sequential substitution output
+# is byte-identical (equivalence pinned over the golden corpus +
+# adversarial cases by tests/test_kernels_text.py). The two '&'
+# patterns replace with spaced text (zero-gap matches are NOT identity
+# there), so they keep the verbatim pattern behind a cheap literal
+# precheck instead.
+_ERROR_FAST = [
+    (re.compile(r"\bm\s+ore\b"), "more", None),
+    (re.compile(r"\bw\s+ith\b"), "with", None),
+    (re.compile(r"\bt\s+he\b"), "the", None),
+    (re.compile(r"\ba(?:\s+n\s*d|n\s+d)\b"), "and", None),
+    (re.compile(r"\bf\s+or\b"), "for", None),
+    (re.compile(r"\by(?:\s+ou\s*r|ou\s+r)\b"), "your", None),
+    (re.compile(r"\bt\s+o\b"), "to", None),
+    (re.compile(r"\bt\s+hat\b"), "that", None),
+    (re.compile(r"\bo\s+f\b"), "of", None),
+    (re.compile(r"\bD(?:\s*)&(?:\s*)D\b"), "D&D", "&"),
+    (re.compile(r"\bDun(?:\s*)geo(?:\s*)ns?(?:\s*)&(?:\s*)"
+                r"Dra(?:\s*)go(?:\s*)ns?\b"), "Dungeons & Dragons", "&"),
+]
+
 # Hyphenation-at-linebreak patterns (word_correction.py:93-100).
 _HYPHENATION = [
     re.compile(r"(\w{2,})\xad\s*\n+\s*(\w{2,})"),
@@ -139,8 +165,11 @@ def fix_hyphenated_words(text: str) -> str:
             return fixed
         return a + " " + b
 
-    for pat in _HYPHENATION:
-        text = pat.sub(_join, text)
+    # Every hyphenation pattern needs a literal '-' or soft hyphen; the
+    # in-scan precheck skips three full regex passes on the common case.
+    if "-" in text or "\xad" in text:
+        for pat in _HYPHENATION:
+            text = pat.sub(_join, text)
     return text.replace("\xad", "")
 
 
@@ -149,11 +178,19 @@ def correct_text(text: str) -> str:
     if not text:
         return text
     text = fix_hyphenated_words(text)
-    for pat, repl in _ERROR_COMPILED:
+    for pat, repl, lit in _ERROR_FAST:
+        if lit is not None and lit not in text:
+            continue
         text = pat.sub(repl, text)
     for word in _WORD_RE.findall(text):
         if len(word) >= MIN_WORD_LENGTH:
             fixed, conf = correct_word(word)
-            if conf >= MIN_CONFIDENCE:
+            # Identity substitutions (the overwhelmingly common case —
+            # dictionary hits return (word, 1.0)) cannot change the
+            # text; skipping them is byte-equivalent to the reference's
+            # unconditional re.sub (word_correction.py:216-282) and
+            # removes ~90% of the full-text regex passes (measured:
+            # the chain's single hottest spot, profile r03).
+            if fixed != word and conf >= MIN_CONFIDENCE:
                 text = re.sub(r"\b" + re.escape(word) + r"\b", fixed, text)
     return text

@@ -246,3 +246,70 @@ class TestMarkdown:
         assert md.startswith("# Players Handbook")
         assert "## 1. Races" in md
         assert "Dwarves are stout." in md
+
+
+class TestErrorPatternFastEquivalence:
+    """Hot-spot pass equivalence gate (SURVEY §5.2 item 4 / VERDICT r02
+    #2): the _ERROR_FAST rewrites must substitute byte-identically to
+    the reference-verbatim _ERROR_COMPILED chain — the fast patterns
+    drop only identity matches (matched text == replacement), which
+    cannot change output."""
+
+    CASES = [
+        "to the of and for with more your that",       # pure identity
+        "t o t he o f a nd an d f or w ith m ore",      # spaced splits
+        "y our yo ur y o u r",                          # multi-gap your
+        "D&D D &D D& D D & D",
+        "Dungeons&Dragons Dungeon s & Dragons Dungeons & Dragons",
+        "t  o\tt\nhe a  n  d",                          # tabs/newlines
+        "veto tot other wither sofa loft",              # embedded words
+        "t o.t o,t o;to!t o?",
+        "",
+        "a n d y o uro f",                              # adversarial runs
+    ]
+
+    @staticmethod
+    def _verbatim(text):
+        for pat, repl in wordcorr._ERROR_COMPILED:
+            text = pat.sub(repl, text)
+        return text
+
+    @staticmethod
+    def _fast(text):
+        for pat, repl, lit in wordcorr._ERROR_FAST:
+            if lit is not None and lit not in text:
+                continue
+            text = pat.sub(repl, text)
+        return text
+
+    def test_equivalence_on_adversarial_cases(self):
+        for case in self.CASES:
+            assert self._fast(case) == self._verbatim(case), case
+
+    def test_equivalence_on_golden_corpus(self):
+        import json
+        import pathlib
+        root = pathlib.Path(__file__).parent.parent / "fixtures" / "goldens"
+        texts = []
+        for p in sorted(root.glob("*.json")):
+            doc = json.loads(p.read_text())
+            for v in doc.values():
+                if isinstance(v, str):
+                    texts.append(v)
+        assert texts, "golden corpus missing"
+        for t in texts:
+            assert self._fast(t) == self._verbatim(t)
+
+    def test_equivalence_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        frag = st.sampled_from(
+            ["t", "o", "he", "f", "a", "n", "d", "y", "ou", "r", "D", "&",
+             " ", "  ", "\n", "\t", "more", "with", "x", ".", "Dungeons",
+             "Dragons", "geo", "ns"])
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(frag, max_size=30))
+        def check(parts):
+            s = "".join(parts)
+            assert self._fast(s) == self._verbatim(s)
+        check()

@@ -10,6 +10,10 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   SPARK_GRAFT_BENCH_DOCS  synthetic pages for the extraction bench
                           (default 4000)
+  SPARK_GRAFT_BENCH_RUNS  timed runs per query; the reported per-query
+                          number is the MEDIAN (default 3 — pins
+                          round-over-round deltas against the
+                          run-to-run variance of a shared box)
 All diagnostics go to stderr; stdout carries only the JSON line.
 """
 
@@ -29,6 +33,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -74,21 +79,34 @@ def main() -> int:
         f"({n_docs / full_sec:.0f} docs/s)")
 
     # --- per-query timings at sf_dir ------------------------------------
+    # Median of n_runs per query (VERDICT r02 #9): the first run of the
+    # whole suite doubles as the cold pass; each query's runs are
+    # consecutive, so the median reflects warm steady-state while the
+    # spread is logged for the honest cold-vs-warm story.
+    import statistics
     timings = {}
     for name, fn in qreg.queries().items():
-        t0 = time.time()
+        runs = []
         try:
-            n = fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
-            log(f"query {name}: {n} rows in {timings[name]}s")
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+            timings[name] = round(statistics.median(runs), 3)
+            log(f"query {name}: {n} rows median {timings[name]}s "
+                f"(runs {runs})")
         except Exception as exc:
             timings[name] = -1.0
             log(f"query {name}: FAILED {exc}")
 
-    total = round(time.time() - total_t0, 3)
+    wall = round(time.time() - total_t0, 3)
+    total = round(ex_sec + full_sec + sum(t for t in timings.values()
+                                          if t > 0), 3)
+    log(f"suite: {total}s (sum of per-query medians + extraction; "
+        f"wall {wall}s across {n_runs} runs/query)")
     result = {
-        "metric": "bench suite wall seconds (extraction headline + "
-                  "all registry queries)",
+        "metric": "bench suite seconds: extraction headline + sum of "
+                  f"per-query medians (median of {n_runs} runs each)",
         "value": total,
         "unit": "sec",
         "queries": timings,

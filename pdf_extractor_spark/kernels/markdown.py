@@ -41,6 +41,18 @@ _RUN_TOGETHER_WORDS = [
 # Precompiled per-word split patterns (application order preserved).
 _RUN_TOGETHER_PATS = [(re.compile(rf"\b{w}([a-z])"), f"{w} \\1")
                       for w in _RUN_TOGETHER_WORDS]
+# Hot-spot prechecks (byte-equivalence argued inline at the use sites,
+# pinned by TestCleanContentFastEquivalence):
+# one alternation scan standing in for all 16 sequential split passes —
+# if it has no match on the incoming line, pass 1 cannot match, leaves
+# the line unchanged, so pass 2 sees the same line, … (induction): all
+# 16 are no-ops and are skipped.
+_RUN_PRECHECK = re.compile(
+    r"\b(?:" + "|".join(_RUN_TOGETHER_WORDS) + r")[a-z]")
+# any applicable short-gap fix needs a 1-2-letter word + space + letter
+# at the same position this restricted pattern matches; no match ⇒ the
+# finditer loop cannot mutate the line.
+_SHORT_GAP12 = re.compile(r"\b[a-z]{1,2}\s[a-z]")
 _WS_ANY = re.compile(r"\s+")
 
 
@@ -94,17 +106,21 @@ def clean_content_text(text: str) -> str:
         else:
             break
 
-    cur = _DND.sub("D&D", cur)
-    cur = _DUNGEONS.sub("Dungeons & Dragons", cur)
+    if "&" in cur:  # both patterns require a literal ampersand
+        cur = _DND.sub("D&D", cur)
+        cur = _DUNGEONS.sub("Dungeons & Dragons", cur)
 
-    for m in reversed(list(_SHORT_GAP.finditer(cur))):
-        prefix, suffix = m.group(1), m.group(2)
-        if len(prefix) <= 2 and (prefix + suffix).lower() in _GAP_FIX_WORDS:
-            start, end = m.span()
-            cur = cur[:start] + prefix + suffix + cur[end:]
+    if _SHORT_GAP12.search(cur):
+        for m in reversed(list(_SHORT_GAP.finditer(cur))):
+            prefix, suffix = m.group(1), m.group(2)
+            if len(prefix) <= 2 and \
+                    (prefix + suffix).lower() in _GAP_FIX_WORDS:
+                start, end = m.span()
+                cur = cur[:start] + prefix + suffix + cur[end:]
 
-    for pat, repl in _RUN_TOGETHER_PATS:
-        cur = pat.sub(repl, cur)
+    if _RUN_PRECHECK.search(cur):
+        for pat, repl in _RUN_TOGETHER_PATS:
+            cur = pat.sub(repl, cur)
 
     return _WS2.sub(" ", cur).strip()
 

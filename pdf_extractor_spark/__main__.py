@@ -36,14 +36,18 @@ def _spark(cpus: int | None):
 def cmd_extract(args) -> int:
     from pyspark.sql import functions as F
 
-    from .pipeline.extract import extract_pages, repartition_salted
+    from .pipeline.extract import (extract_pages, extract_pages_hybrid,
+                                   repartition_salted)
 
     spark = _spark(args.cpus)
     pages = spark.read.parquet(args.input)
     if args.partitions:
         pages = repartition_salted(pages, args.partitions)
     levels = tuple(args.levels.split(","))
-    out = extract_pages(pages, levels=levels)
+    if args.jvm_text_lane and levels == ("raw",):
+        out = extract_pages_hybrid(pages)
+    else:
+        out = extract_pages(pages, levels=levels)
     out.write.mode("overwrite").parquet(args.output)
     back = spark.read.parquet(args.output)
     n = back.count()
@@ -239,6 +243,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--levels", default="raw")
     p.add_argument("--partitions", type=int, default=0)
+    p.add_argument("--jvm-text-lane", action="store_true",
+                   help="raw level only: route payload-less rows "
+                        "through the codegen-only JVM lane")
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_extract)
 

@@ -203,6 +203,60 @@ def extract_pages(pages: DataFrame,
     return pages.mapInPandas(run, schema=schema)
 
 
+def extract_pages_text_jvm(pages: DataFrame) -> DataFrame:
+    """Raw-level extraction for rows with NO binary payload — the
+    pre-extracted-text lane — as a pure JVM plan (quirk Q9 promotion,
+    VERDICT r02 #2): detect-empty + P1 normalize + stats run entirely
+    inside whole-stage codegen, no Python worker, no Arrow crossing.
+
+    Byte-identical to ``extract_pages(levels=("raw",))`` on the same
+    rows (gate: tests/test_jvm_textnorm.py — synth corpus + adversarial
+    Unicode + per-codepoint whitespace sweep). At 10^12 rows this is
+    the lane a text-bearing Common-Crawl table takes: the expensive
+    Python kernels run only where bytes actually need parsing — see
+    ``extract_pages_hybrid``.
+
+    Input rows MUST have ``html`` null or empty (caller splits); output
+    matches the raw-level schema of extract_pages.
+    """
+    from ..kernels.textnorm import normalize_raw_text_expr
+
+    has_text = F.col("text").isNotNull() & (F.col("text") != "")
+    norm = normalize_raw_text_expr(F.col("text"))
+    out_text = F.when(has_text, norm)
+    n_lines = F.when(
+        ~has_text, F.lit(0)
+    ).when(out_text == "", F.lit(0)) \
+     .otherwise(F.size(F.split(out_text, "\n", -1)))
+    return pages.select(
+        "url", "warc_ts", "lang",
+        F.when(has_text, F.lit("text")).otherwise(F.lit("empty"))
+         .alias("doctype"),
+        out_text.alias("text"),
+        F.coalesce(F.length(out_text), F.lit(0)).cast("long")
+         .alias("n_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        F.when(~has_text,
+               F.lit("empty payload and no pre-extracted text"))
+         .alias("failure_reason"),
+    )
+
+
+def extract_pages_hybrid(pages: DataFrame) -> DataFrame:
+    """Raw-level extraction with the JVM fast lane: payload-less rows
+    take ``extract_pages_text_jvm`` (codegen only), payload rows take
+    the fused Python kernel stage; union of the two lanes — row-set
+    identical to ``extract_pages(levels=("raw",))`` by the same gate.
+
+    The split predicate is evaluated at the scan, so each lane reads
+    only its rows (column pruning drops ``html`` entirely from the JVM
+    lane's scan)."""
+    no_payload = F.col("html").isNull() | (F.length("html") == 0)
+    jvm = extract_pages_text_jvm(pages.filter(no_payload))
+    py = extract_pages(pages.filter(~no_payload), levels=("raw",))
+    return jvm.unionByName(py)
+
+
 def repartition_salted(df: DataFrame, num_partitions: int,
                        key: str = "url") -> DataFrame:
     """Skew-defeating repartition: hash the full high-cardinality key

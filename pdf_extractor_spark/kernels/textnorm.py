@@ -47,8 +47,7 @@ _PY_WS_CLASS = ("[\t\n\x0B\f\r\x1C-\x1F \x85\xA0\u1680"
 
 
 def normalize_raw_text_expr(col):
-    """P1 as a pure JVM expression chain (whole-stage codegen, zero
-    Python) — byte-identical to :func:`normalize_raw_text` by the
+    """P1 as a pure JVM expression chain (zero Python workers) — byte-identical to :func:`normalize_raw_text` by the
     equivalence gate (quirk Q9: promotion only behind a corpus +
     codepoint-sweep proof; tests/test_jvm_textnorm.py).
 

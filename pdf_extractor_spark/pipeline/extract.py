@@ -206,8 +206,10 @@ def extract_pages(pages: DataFrame,
 def extract_pages_text_jvm(pages: DataFrame) -> DataFrame:
     """Raw-level extraction for rows with NO binary payload — the
     pre-extracted-text lane — as a pure JVM plan (quirk Q9 promotion,
-    VERDICT r02 #2): detect-empty + P1 normalize + stats run entirely
-    inside whole-stage codegen, no Python worker, no Arrow crossing.
+    VERDICT r02 #2): detect-empty + P1 normalize + stats evaluate
+    entirely JVM-side (codegen for the scalar chain, interpreted
+    higher-order array ops for the line strip) — no Python worker, no
+    Arrow crossing.
 
     Byte-identical to ``extract_pages(levels=("raw",))`` on the same
     rows (gate: tests/test_jvm_textnorm.py — synth corpus + adversarial
@@ -244,7 +246,7 @@ def extract_pages_text_jvm(pages: DataFrame) -> DataFrame:
 
 def extract_pages_hybrid(pages: DataFrame) -> DataFrame:
     """Raw-level extraction with the JVM fast lane: payload-less rows
-    take ``extract_pages_text_jvm`` (codegen only), payload rows take
+    take ``extract_pages_text_jvm`` (JVM only), payload rows take
     the fused Python kernel stage; union of the two lanes — row-set
     identical to ``extract_pages(levels=("raw",))`` by the same gate.
 

@@ -695,6 +695,72 @@ ORDER BY label
 """
 
 
+BENCHMARK_MOD = 97  # every 97th doc stands in for a held-out benchmark
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Benchmark-contamination detection — the pre-training hygiene
+    pass: flag corpus documents sharing 3-gram shingles with a held-out
+    benchmark set (here: every ``BENCHMARK_MOD``-th doc plays the
+    benchmark). The benchmark shingle set is tiny and BROADCAST, so the
+    corpus side is one scan + one semi-shaped join with no shuffle of
+    the corpus shingles by value — the shape that survives a 100 TB
+    corpus against a fixed benchmark suite. Shingles travel as the same
+    56-bit md5 ints as the Jaccard path."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id",
+                      F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
+                   .cast("long").alias("shingle"))
+          .distinct())
+    is_bench = (F.col("doc_id") % BENCHMARK_MOD) == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"))
+    hits = (corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("hits", F.lit(0)).alias("n_contaminated"))
+            .withColumn("contamination_bp",
+                        F.floor(F.lit(10000) * F.col("n_contaminated")
+                                / F.col("n_shingles")).cast("long"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0)
+            .orderBy("doc_id"))
+
+
+ORACLE_CONTAMINATION = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2]), 1, 14)) AS BIGINT)
+           AS shingle
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0
+), corpus AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} <> 0
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS hits
+  FROM corpus c JOIN bench USING (shingle) GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.hits, 0) AS n_contaminated,
+       CAST(FLOOR(10000 * COALESCE(h.hits, 0) / t.n_shingles) AS BIGINT)
+         AS contamination_bp,
+       COALESCE(h.hits, 0) > 0 AS contaminated
+FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 ORACLE_CLUSTERS_CONVERGED = f"""
 WITH RECURSIVE {_SIGS_SQL},
 {_BANDS_STARRED_SQL.strip()}, edges AS (
@@ -728,6 +794,8 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_CLUSTERS),
     "dedup_clusters_converged": (q_dedup_clusters_converged,
                                  ORACLE_CLUSTERS_CONVERGED),
+    "benchmark_contamination": (q_benchmark_contamination,
+                                ORACLE_CONTAMINATION),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "simhash_bands": (q_simhash_bands, ORACLE_SIMHASH_BANDS),

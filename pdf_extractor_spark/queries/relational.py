@@ -830,7 +830,16 @@ ORDER BY event_id
 """
 
 
+# Entry order is driver-visible (the correctness driver checks the
+# first 50 registry entries and relational is last): queries whose
+# semantics changed most recently go first so their rows stay inside
+# the window; the tail is the longest-green TPC-H-shape demos.
 QUERIES = {
+    # dict family — dictionary widened + fuzzy band re-tuned in r03
+    "word_semi_join": (q_word_semi_join, ORACLE_SEMI),
+    "word_anti_join": (q_word_anti_join, ORACLE_ANTI),
+    "fuzzy_prefix_candidates": (q_fuzzy_prefix_candidates, ORACLE_FUZZY),
+    "dict_union": (q_dict_union, ORACLE_UNION),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "orders_with_returns": (q_orders_with_returns, ORACLE_ORDERS_RETURNS),
     "orders_fully_discounted": (q_orders_fully_discounted,
@@ -844,11 +853,7 @@ QUERIES = {
     "topk_events_per_type": (q_topk_events_per_type, ORACLE_TOPK_EVENTS),
     "doc_word_stats": (q_doc_word_stats, ORACLE_WORD_STATS),
     "pattern_profile": (q_pattern_profile, ORACLE_PATTERN),
-    "word_semi_join": (q_word_semi_join, ORACLE_SEMI),
-    "word_anti_join": (q_word_anti_join, ORACLE_ANTI),
-    "fuzzy_prefix_candidates": (q_fuzzy_prefix_candidates, ORACLE_FUZZY),
     "systematic_sample": (q_systematic_sample, ORACLE_SAMPLE),
-    "dict_union": (q_dict_union, ORACLE_UNION),
     "repeated_first_words": (q_repeated_first_words, ORACLE_REPEATED),
     "events_props_json": (q_events_props_json, ORACLE_PROPS_JSON),
     "revenue_rollup": (q_revenue_rollup, ORACLE_ROLLUP),

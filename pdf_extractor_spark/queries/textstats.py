@@ -349,8 +349,63 @@ ORDER BY source, split
 """
 
 
+# --- PII scrubbing ---------------------------------------------------------
+
+# Deterministic PII injection, the derived-column trick (same literal
+# expression evaluated by Spark's F.expr AND embedded in the DuckDB
+# oracle — the word-soup corpus contains no real PII, so both engines
+# plant identical emails/phones on every 3rd doc). No backslashes: the
+# fragment must parse identically in both SQL dialects.
+PII_EXPR = ("CASE WHEN doc_id % 3 = 0 THEN text || ' Contact alice"
+            "' || CAST(doc_id AS STRING) || '@mail.example.com or "
+            "+1-202-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') "
+            "ELSE text END")
+# Redaction patterns: character classes only — no backslash escapes, no
+# backrefs, no lookaround — so Java regex and RE2 agree by construction.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]1-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus runs before
+    anything ships: emails → [EMAIL], phone numbers → [PHONE], with
+    per-doc redaction counts. Pure JVM regexp (one projection, no
+    shuffle except the final order); clean documents pass through
+    byte-identical."""
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumn("pii_text", F.expr(PII_EXPR))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE, "[PHONE]")
+    return (docs.select(
+        "doc_id",
+        F.regexp_count(F.col("pii_text"), F.lit(EMAIL_RE)).cast("long")
+         .alias("n_emails"),
+        F.regexp_count(F.col("pii_text"), F.lit(PHONE_RE)).cast("long")
+         .alias("n_phones"),
+        scrub.alias("scrubbed"))
+        .orderBy("doc_id"))
+
+
+ORACLE_PII = f"""
+WITH pii AS (
+  SELECT doc_id, {PII_EXPR} AS pii_text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(regexp_replace(pii_text, '{EMAIL_RE}', '[EMAIL]',
+                                     'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+FROM pii ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "lang_id_ngram": (q_lang_id_ngram, ORACLE_LANG_NGRAM),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),

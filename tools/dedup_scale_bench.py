@@ -62,7 +62,10 @@ def run_level(cpus: int, sf_dir: str, only=None) -> dict:
     out = {}
     for name, fn in [("dedup_minhash_lsh", dedup.q_dedup_minhash_lsh),
                      ("simhash_bands", dedup.q_simhash_bands),
-                     ("dedup_ngram_jaccard", dedup.q_dedup_ngram_jaccard)]:
+                     ("dedup_ngram_jaccard", dedup.q_dedup_ngram_jaccard),
+                     ("dedup_clusters", dedup.q_dedup_clusters),
+                     ("dedup_clusters_converged",
+                      dedup.q_dedup_clusters_converged)]:
         if only and name not in only:
             continue
         # warm pass not needed: each query's scan dominates and the OS

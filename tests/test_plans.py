@@ -204,3 +204,29 @@ class TestExtractionStage:
         # generation stage + extraction stage, still fused: no extra crossing
         assert nodes(plan, "MapInPandas") == 2
         assert nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+class TestRound3Plans:
+    def test_contamination_benchmark_broadcast(self, spark):
+        """The held-out shingle set must broadcast — the corpus side
+        never shuffles its shingles by value for the probe join."""
+        plan = plan_of(dedup.q_benchmark_contamination(spark, SF_DIR))
+        assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+
+    def test_pii_scrub_is_scan_project_sort(self, spark):
+        """PII redaction is a pure projection: the only exchange is the
+        final presentation sort; no join, no Python."""
+        from pdf_extractor_spark.queries import textstats
+        plan = plan_of(textstats.q_pii_scrub(spark, SF_DIR))
+        assert nodes(plan, "MapInPandas") == 0
+        assert nodes(plan, "BroadcastHashJoin") == 0
+        assert nodes(plan, "SortMergeJoin") == 0
+        # rangepartitioning for the orderBy is the single exchange
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_kmeans_assign_no_window(self, spark):
+        """The argmax is a struct-max AGGREGATE (map-side combinable),
+        not a row_number window — no per-vector sort."""
+        plan = plan_of(simsearch.q_kmeans_assign(spark, SF_DIR))
+        assert nodes(plan, "Window") == 0, plan

@@ -403,9 +403,110 @@ FROM pii ORDER BY doc_id
 """
 
 
+# --- end-to-end corpus curation ---------------------------------------------
+
+CURATION_QUALITY_MIN = 6000  # basis points; below this a doc is rejected
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full C4-style curation verdict — the pipeline this engine
+    exists to run, composed from the individual oracle-checked passes:
+    benchmark holdout → exact-dedup keep/reject → contamination check →
+    quality floor. One row per document with the FIRST failing rule as
+    its verdict (rule order fixed), so downstream `WHERE verdict =
+    'kept'` is the training corpus.
+
+    Plan shape at 100 TB: quality and dedup are each one keyed
+    aggregate; contamination probes a broadcast shingle set; the final
+    assembly joins on doc_id (co-partitioned). Nothing here is new
+    machinery — it is the composition that matters."""
+    from . import dedup as ddp
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
+    hashes = docs.select(F.md5("text").alias("h"), "doc_id")
+    keep_min = hashes.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dup = (hashes.join(keep_min, "h")
+           .select("doc_id",
+                   (F.col("doc_id") != F.col("keep_id"))
+                   .alias("is_duplicate")))
+    contam = ddp.q_benchmark_contamination(spark, sf_dir) \
+        .select("doc_id", "contaminated")
+    out = (docs.select("doc_id")
+           .join(quality, "doc_id", "left")
+           .join(dup, "doc_id", "left")
+           .join(contam, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce("quality_bp", F.lit(0)).alias("quality_bp"),
+               "is_duplicate",
+               F.coalesce("contaminated", F.lit(False))
+                .alias("contaminated")))
+    verdict = (
+        F.when((F.col("doc_id") % ddp.BENCHMARK_MOD) == 0, "benchmark")
+        .when(F.col("is_duplicate"), "duplicate")
+        .when(F.col("contaminated"), "contaminated")
+        .when(F.col("quality_bp") < CURATION_QUALITY_MIN, "low_quality")
+        .otherwise("kept"))
+    return out.withColumn("verdict", verdict).orderBy("doc_id")
+
+
+ORACLE_CURATION = _WORDS_CTE + f""",
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(length(word)) AS sum_len,
+         SUM(CASE WHEN word IN ({_EN_LIST}) THEN 1 ELSE 0 END) AS n_stop
+  FROM words GROUP BY doc_id
+), qual AS (
+  SELECT doc_id,
+         CAST(80 * least(n_words, 50)
+              + least(3000, (15000 * n_stop) // n_words)
+              + 3000 - least(3000, (3000 * abs(sum_len - 5 * n_words))
+                                   // (5 * n_words))
+              AS BIGINT) AS quality_bp
+  FROM per_doc
+), keepmin AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY md5(text)
+), dup AS (
+  SELECT d.doc_id, d.doc_id <> k.keep_id AS is_duplicate
+  FROM documents d JOIN keepmin k ON md5(d.text) = k.h
+), arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2]), 1, 14)) AS BIGINT)
+           AS shingle
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), contam AS (
+  SELECT c.doc_id, COUNT(*) > 0 AS contaminated
+  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0) c
+  JOIN bench USING (shingle) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(q.quality_bp, 0) AS quality_bp,
+       dup.is_duplicate,
+       COALESCE(co.contaminated, FALSE) AS contaminated,
+       CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+            WHEN dup.is_duplicate THEN 'duplicate'
+            WHEN COALESCE(co.contaminated, FALSE) THEN 'contaminated'
+            WHEN COALESCE(q.quality_bp, 0) < {CURATION_QUALITY_MIN}
+              THEN 'low_quality'
+            ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN qual q ON q.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+LEFT JOIN contam co ON co.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
+    "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION),
     "lang_id_ngram": (q_lang_id_ngram, ORACLE_LANG_NGRAM),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),

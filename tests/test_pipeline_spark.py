@@ -185,3 +185,25 @@ class TestResumeLineage:
         assert agg.fc == n and agg.rout == 0
         # successful-output table holds nothing for the poison batch
         assert lin.read_output(spark, out_dir).count() == 0
+
+
+@pytest.mark.spark
+def test_output_table_partition_pruning(spark, tmp_path):
+    """The batch-partitioned output table must prune partitions on a
+    batch filter — the local-parquet analog of Iceberg partition
+    pruning the lineage module's docstring promises (one scan per
+    batch at 10^12 rows)."""
+    out_dir = str(tmp_path / "out")
+    pages = synth_pages_df(spark, 40, partitions=2)
+    lin.run_resumable(spark, pages, out_dir, snapshot_id=5, num_batches=4)
+    df = lin.read_output(spark, out_dir).filter(F.col("batch") == 2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "batch" in m.group(1), plan
+    # and the pruned read returns exactly that batch's rows
+    assert df.count() == lin.read_output(spark, out_dir) \
+        .filter(F.col("batch") == 2).count()
+    assert set(r.batch for r in df.select("batch").distinct().collect()) \
+        == {2}

@@ -95,6 +95,14 @@ _ERROR_FAST = [
     (re.compile(r"\bDun(?:\s*)geo(?:\s*)ns?(?:\s*)&(?:\s*)"
                 r"Dra(?:\s*)go(?:\s*)ns?\b"), "Dungeons & Dragons", "&"),
 ]
+# One alternation scan standing in for the nine whitespace-requiring
+# passes (same induction as markdown._RUN_PRECHECK: a pattern that
+# could match leaves the text unchanged only if it matches nothing, and
+# every individual pattern's match set on a given text is a subset of
+# this alternation's — so no match here ⇒ all nine passes are no-ops).
+_ERROR_FAST_PRECHECK = re.compile(
+    r"\b(?:m\s+ore|w\s+ith|t\s+he|a(?:\s+n\s*d|n\s+d)|f\s+or|"
+    r"y(?:\s+ou\s*r|ou\s+r)|t\s+o|t\s+hat|o\s+f)\b")
 
 # Hyphenation-at-linebreak patterns (word_correction.py:93-100).
 _HYPHENATION = [
@@ -178,10 +186,16 @@ def correct_text(text: str) -> str:
     if not text:
         return text
     text = fix_hyphenated_words(text)
-    for pat, repl, lit in _ERROR_FAST:
-        if lit is not None and lit not in text:
-            continue
-        text = pat.sub(repl, text)
+    # pattern order preserved: the nine plain passes precede the two
+    # '&'-gated ones in _ERROR_FAST, exactly as in ERROR_PATTERNS
+    if _ERROR_FAST_PRECHECK.search(text):
+        for pat, repl, lit in _ERROR_FAST:
+            if lit is None:
+                text = pat.sub(repl, text)
+    if "&" in text:
+        for pat, repl, lit in _ERROR_FAST:
+            if lit is not None:
+                text = pat.sub(repl, text)
     for word in _WORD_RE.findall(text):
         if len(word) >= MIN_WORD_LENGTH:
             fixed, conf = correct_word(word)

@@ -276,10 +276,15 @@ class TestErrorPatternFastEquivalence:
 
     @staticmethod
     def _fast(text):
-        for pat, repl, lit in wordcorr._ERROR_FAST:
-            if lit is not None and lit not in text:
-                continue
-            text = pat.sub(repl, text)
+        # mirrors the production loop in wordcorr.correct_text
+        if wordcorr._ERROR_FAST_PRECHECK.search(text):
+            for pat, repl, lit in wordcorr._ERROR_FAST:
+                if lit is None:
+                    text = pat.sub(repl, text)
+        if "&" in text:
+            for pat, repl, lit in wordcorr._ERROR_FAST:
+                if lit is not None:
+                    text = pat.sub(repl, text)
         return text
 
     def test_equivalence_on_adversarial_cases(self):

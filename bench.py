@@ -78,6 +78,33 @@ def main() -> int:
     log(f"extraction full chain: {ok_full}/{n_docs} in {full_sec:.1f}s "
         f"({n_docs / full_sec:.0f} docs/s)")
 
+    # --- JVM text lane vs Python fused lane (Q9 promotion evidence) -----
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.pipeline.extract import extract_pages_text_jvm
+    n_text = n_docs * 25  # text rows are ~100× cheaper; widen the window
+    text_path = f"/tmp/bench_textpages_{n_text}"
+    if not os.path.exists(text_path):
+        log(f"materializing {n_text} text-only pages → {text_path}")
+        (synth_pages_df(spark, n=n_text)
+         .withColumn("text", F.coalesce(
+             "text", F.concat_ws(" ", F.lit(
+                 "Pre extracted body. Next sentence here."), "url")))
+         .withColumn("html", F.lit(None).cast("binary"))
+         .write.mode("overwrite").parquet(text_path))
+    text_pages = spark.read.parquet(text_path)
+    lane = {}
+    for name, fn in (("python", lambda: extract_pages(
+                        text_pages, levels=("raw",))),
+                     ("jvm", lambda: extract_pages_text_jvm(text_pages))):
+        fn().filter("failure_reason is null").count()  # warm
+        t0 = time.time()
+        fn().filter("failure_reason is null").count()
+        lane[name] = round(time.time() - t0, 3)
+    log(f"text lane: python {lane['python']}s vs jvm {lane['jvm']}s "
+        f"({lane['python'] / max(lane['jvm'], 1e-9):.1f}x) on "
+        f"{n_text} text rows")
+
     # --- per-query timings at sf_dir ------------------------------------
     # Median of n_runs per query (VERDICT r02 #9): the first run of the
     # whole suite doubles as the cold pass; each query's runs are
@@ -118,6 +145,8 @@ def main() -> int:
             "ok": ok,
             "full_chain_sec": round(full_sec, 3),
             "full_chain_docs_per_sec": round(n_docs / full_sec, 1),
+            "text_lane_python_sec": lane["python"],
+            "text_lane_jvm_sec": lane["jvm"],
         },
     }
     print(json.dumps(result), flush=True)

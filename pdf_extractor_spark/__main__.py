@@ -11,6 +11,9 @@ of one PDF at a time, each command runs over a pages/documents table.
   python -m pdf_extractor_spark fix-md   --input PATH --output PATH
       [--text-col COL] [--min-confidence 0.9]   (reference:
       fix_errors_in_file, advanced_validator.py:980-1106)
+  python -m pdf_extractor_spark extract-resumable --input PATH --output PATH
+      [--snapshot-id N] [--batches B]   (checkpoint-resumable batches:
+      re-run the same command to process only the remainder)
   python -m pdf_extractor_spark convert-md --input ENV_DIR --output MD_DIR
       [--format yaml|json] [--no-toc]   (reference: markdown_convert.py:
       15-119 recursive dir mode — scan envelope files, emit one .md per
@@ -186,6 +189,30 @@ def cmd_fix_md(args) -> int:
     return 0
 
 
+def cmd_extract_resumable(args) -> int:
+    """Checkpoint-resumable extraction (pipeline.lineage): deterministic
+    url-hash batches, per-batch idempotent overwrite, lineage counts +
+    failures table; re-running the same command processes only the
+    remaining batches."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import lineage as lin
+
+    spark = _spark(args.cpus)
+    pages = spark.read.parquet(args.input)
+    levels = tuple(args.levels.split(","))
+    ran = lin.run_resumable(spark, pages, args.output,
+                            snapshot_id=args.snapshot_id,
+                            num_batches=args.batches, levels=levels)
+    lineage = lin.read_lineage(spark, args.output)
+    agg = lineage.agg(F.sum("rows_out").alias("ok"),
+                      F.sum("failure_count").alias("fails")).collect()[0]
+    print(f"ran batches {ran} (snapshot {args.snapshot_id}); "
+          f"output now {agg.ok} rows, {agg.fails} failures "
+          f"-> {args.output}")
+    return 0
+
+
 def cmd_convert_md(args) -> int:
     """Envelope directory → one ``.md`` file per envelope (the
     reference's second CLI mode, markdown_convert.py:15-119, recursive
@@ -271,6 +298,17 @@ def main(argv=None) -> int:
     p.add_argument("--min-confidence", type=float, default=0.9)
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_fix_md)
+
+    p = sub.add_parser("extract-resumable",
+                       help="pages table -> batched output with "
+                            "checkpoint/lineage; re-run to resume")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--levels", default="raw")
+    p.add_argument("--snapshot-id", type=int, default=0)
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_extract_resumable)
 
     p = sub.add_parser("convert-md",
                        help="envelope dir -> one .md file per envelope")

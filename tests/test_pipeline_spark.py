@@ -207,3 +207,21 @@ def test_output_table_partition_pruning(spark, tmp_path):
         .filter(F.col("batch") == 2).count()
     assert set(r.batch for r in df.select("batch").distinct().collect()) \
         == {2}
+
+
+@pytest.mark.spark
+def test_extract_resumable_cli_resumes(spark, tmp_path):
+    """CLI wiring over run_resumable: first invocation processes all
+    batches, the identical re-run is a no-op (exactly-once output)."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    synth_pages_df(spark, 24, partitions=2).write.parquet(src)
+    argv = ["extract-resumable", "--input", src, "--output", out,
+            "--batches", "3"]
+    assert cli_main(argv) == 0
+    assert lin.read_output(spark, out).count() == 24
+    assert cli_main(argv) == 0  # resume: nothing left to do
+    assert lin.read_output(spark, out).count() == 24
+    assert lin.read_output(spark, out).select("url").distinct().count() == 24

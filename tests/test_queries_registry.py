@@ -63,3 +63,44 @@ def test_oracle_parity(spark, duck, name):
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(ocols)
     assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)
+
+
+class TestCurationProperties:
+    def test_pii_scrub_is_idempotent_and_clean(self, spark):
+        """Scrubbing twice equals scrubbing once, and no email/phone
+        pattern survives a scrub — the properties a redaction pass must
+        hold before anything ships."""
+        import re
+
+        from pdf_extractor_spark.queries import textstats as ts
+        rows = ts.q_pii_scrub(spark, "/root/testdata/sf0.001").collect()
+        email = re.compile(ts.EMAIL_RE)
+        phone = re.compile(ts.PHONE_RE)
+        injected = [r for r in rows if r.n_emails or r.n_phones]
+        assert injected, "PII injection produced nothing"
+        for r in rows:
+            assert not email.search(r.scrubbed), r.doc_id
+            assert not phone.search(r.scrubbed), r.doc_id
+            # idempotence: a second pass changes nothing
+            again = phone.sub("[PHONE]", email.sub("[EMAIL]", r.scrubbed))
+            assert again == r.scrubbed, r.doc_id
+
+    def test_curation_verdict_consistent_with_flags(self, spark):
+        """Each doc gets exactly one verdict, and the verdict agrees
+        with its component flags under the fixed rule order."""
+        from pdf_extractor_spark.queries import dedup as ddp
+        from pdf_extractor_spark.queries import textstats as ts
+        rows = ts.q_curation_pipeline(
+            spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == len({r.doc_id for r in rows})
+        for r in rows:
+            if r.doc_id % ddp.BENCHMARK_MOD == 0:
+                assert r.verdict == "benchmark"
+            elif r.is_duplicate:
+                assert r.verdict == "duplicate"
+            elif r.contaminated:
+                assert r.verdict == "contaminated"
+            elif r.quality_bp < ts.CURATION_QUALITY_MIN:
+                assert r.verdict == "low_quality"
+            else:
+                assert r.verdict == "kept"

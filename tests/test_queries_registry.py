@@ -16,7 +16,8 @@ SUBSET = [
     "pricing_summary", "events_sessionize", "top_orders_per_customer",
     "word_semi_join", "dedup_exact", "minhash_signatures",
     "simhash_signatures", "lsh_buckets", "quality_score",
-    "multimodal_decode",
+    "multimodal_decode", "ngram_repetition", "pack_sequences",
+    "temperature_sample",
 ]
 
 
@@ -104,3 +105,103 @@ class TestCurationProperties:
                 assert r.verdict == "low_quality"
             else:
                 assert r.verdict == "kept"
+
+
+class TestCurationOperators:
+    """The round-3 corpus-curation additions: repetition stats,
+    composite quality filter, sequence packing, temperature sampling,
+    semantic dedup."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_pack_sequences_matches_global_cumsum(self, spark):
+        """The hierarchical (bucket → superbucket) prefix sum must
+        equal the plain global running sum it replaces."""
+        from pdf_extractor_spark.queries import curation as cu
+        rows = sorted(cu.q_pack_sequences(spark, self.SF).collect(),
+                      key=lambda r: r.doc_id)
+        run = 0
+        for r in rows:
+            assert r.start_offset == run, r.doc_id
+            assert r.seq_id == run // cu.SEQ_LEN
+            expect_span = (run // cu.SEQ_LEN
+                           != (run + r.n_tokens - 1) // cu.SEQ_LEN)
+            assert r.spans_boundary == expect_span, r.doc_id
+            run += r.n_tokens
+
+    def test_ngram_repetition_matches_python(self, spark):
+        """Per-doc bigram/trigram stats agree with a direct Python
+        recount on the raw text."""
+        from collections import Counter
+
+        from pdf_extractor_spark.queries import curation as cu
+        docs = {r.doc_id: r.text for r in spark.read.parquet(
+            f"{self.SF}/documents.parquet").collect()}
+        got = cu.q_ngram_repetition(spark, self.SF).collect()
+        assert got, "no rows"
+        for r in got[:200]:
+            words = [w for w in docs[r.doc_id].split(" ") if w]
+            grams = [" ".join(words[i:i + r.n])
+                     for i in range(len(words) - r.n + 1)]
+            cnt = Counter(grams)
+            total, dist = len(grams), len(cnt)
+            assert r.total_ngrams == total
+            assert r.distinct_ngrams == dist
+            assert r.dup_bp == (10000 * (total - dist)) // total
+            top_c = max(cnt.values())
+            # tie-break: lexicographically largest among max-count grams
+            top_g = max(g for g, c in cnt.items() if c == top_c)
+            assert r.top_gram == top_g
+            assert r.top_bp == (10000 * top_c) // total
+
+    def test_gopher_verdict_follows_rule_order(self, spark):
+        from pdf_extractor_spark.queries import curation as cu
+        rows = cu.q_gopher_quality_filter(spark, self.SF).collect()
+        assert len(rows) == len({r.doc_id for r in rows})
+        seen = set()
+        for r in rows:
+            if r.n_words < cu.MIN_WORDS:
+                expect = "too_few_words"
+            elif not (cu.WLEN_MIN_BP <= r.wlen_bp <= cu.WLEN_MAX_BP):
+                expect = "word_length"
+            elif r.dup_bp >= cu.DUP_BG_MAX_BP:
+                expect = "repetition"
+            elif r.top_bp >= cu.TOP_BG_MAX_BP:
+                expect = "top_ngram"
+            else:
+                expect = "kept"
+            assert r.verdict == expect, r.doc_id
+            seen.add(r.verdict)
+        assert "kept" in seen  # the filter must not reject everything
+
+    def test_temperature_sample_rates_and_determinism(self, spark):
+        import math
+
+        from pdf_extractor_spark.queries import curation as cu
+        rows = cu.q_temperature_sample(spark, self.SF).collect()
+        min_docs = min(r.n_docs for r in rows)
+        for r in rows:
+            expect = math.floor(
+                cu.SAMPLE_MOD * math.sqrt(min_docs / r.n_docs))
+            assert r.rate_bp == expect, r.lang
+            assert 0 <= r.n_kept <= r.n_docs
+        # the scarcest language is kept whole (rate 10000 ⇒ keep all)
+        scarce = [r for r in rows if r.n_docs == min_docs]
+        assert all(r.n_kept == r.n_docs for r in scarce)
+        again = cu.q_temperature_sample(spark, self.SF).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_semantic_dedup_keeper_is_senior_same_cluster(self, spark):
+        from pdf_extractor_spark.queries import curation as cu
+        rows = cu.q_semantic_dedup(spark, self.SF).collect()
+        cluster_of = {r.vec_id: r.cluster for r in rows}
+        dups = [r for r in rows if r.is_semantic_dup]
+        keeps = [r for r in rows if not r.is_semantic_dup]
+        assert dups and keeps, "threshold must split the corpus"
+        for r in dups:
+            assert r.keeper_id is not None and r.keeper_id < r.vec_id
+            assert cluster_of[r.keeper_id] == r.cluster
+            assert r.max_cos >= cu.SEMDEDUP_TAU
+            assert r.n_neighbors >= 1
+        for r in keeps:
+            assert r.keeper_id is None and r.n_neighbors == 0

@@ -232,6 +232,9 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
                        F.col("b.sim").alias("sim"), F.col("b.e").alias("e"))
 
 
+_TRAINED_CACHE: dict = {}
+
+
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMEANS_ITERS Lloyd iterations from the label-derived warm start:
     assign (broadcast centroids, one keyed combine) → decimal-exact
@@ -239,7 +242,19 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     all members simply drop out of the next round's centroid table —
     deterministic and identical in both engines. At 10^12 vectors each
     round is a broadcast pass plus a k-row aggregate; the centroid
-    table never exceeds k × dims doubles."""
+    table never exceeds k × dims doubles.
+
+    The trained table is memoized per (Spark application, sf_dir):
+    three registry queries (kmeans_assign, ann_ivf_topk,
+    semantic_dedup) consume the SAME deterministic training — in a
+    real deployment the centroid table is a tiny shared artifact
+    written once, not retrained per downstream query. The memo holds a
+    localCheckpoint'd k × dims table (a few KB) for the session's
+    lifetime."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRAINED_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = _emb(spark, sf_dir)
     cent = _centroids(spark, sf_dir).localCheckpoint(eager=True)
     for _ in range(KMEANS_ITERS):
@@ -253,6 +268,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = _mean_centroids(
             asg.select(F.col("k").alias("label"), "e")) \
             .localCheckpoint(eager=True)
+    _TRAINED_CACHE[key] = cent
     return cent
 
 

@@ -230,3 +230,61 @@ class TestRound3Plans:
         not a row_number window — no per-vector sort."""
         plan = plan_of(simsearch.q_kmeans_assign(spark, SF_DIR))
         assert nodes(plan, "Window") == 0, plan
+
+
+class TestCurationPlans:
+    def test_ngram_is_zero_shuffle_projection(self, spark):
+        """The whole repetition profile (grams, distinct count, mode
+        fold) is array expressions over (doc_id, text) — no Python
+        stage, no join, no aggregate; the ONLY exchange is the
+        presentation sort."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_ngram_repetition(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+        assert nodes(plan, "MapInPandas") == 0
+        assert nodes(plan, "SortMergeJoin") == 0
+        assert nodes(plan, "BroadcastHashJoin") == 0
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert plan.count("Exchange") <= 2, plan  # rangepartition sort
+
+    def test_gopher_is_zero_shuffle_projection(self, spark):
+        """The composite filter shares the same shape: one projection,
+        no join between the word stats and the bigram signals."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_gopher_quality_filter(spark, SF_DIR))
+        assert nodes(plan, "MapInPandas") == 0
+        assert nodes(plan, "SortMergeJoin") == 0
+        assert nodes(plan, "BroadcastHashJoin") == 0
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_pack_sequences_no_full_table_global_window(self, spark):
+        """The hierarchy: exactly three Window nodes (within-bucket,
+        bucket-offset, superbucket-offset), offsets re-attached via
+        broadcast — never a sort-merge join, never a cartesian."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_pack_sequences(spark, SF_DIR))
+        assert nodes(plan, "Window") == 3, plan
+        assert nodes(plan, "BroadcastHashJoin") == 2, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "CartesianProduct") == 0, plan
+
+    def test_temperature_rates_broadcast(self, spark):
+        """The per-language rate table is a tiny aggregate broadcast
+        back onto the corpus — the big side never shuffles by lang
+        for the join."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_temperature_sample(spark, SF_DIR))
+        assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+
+    def test_semantic_dedup_pairs_never_cartesian(self, spark):
+        """Candidate pairs are generated ONLY within a cluster (equi
+        join on k) — a cartesian/nested-loop here would be the
+        quadratic blowup the method exists to avoid."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_semantic_dedup(spark, SF_DIR))
+        assert nodes(plan, "CartesianProduct") == 0, plan
+        assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan

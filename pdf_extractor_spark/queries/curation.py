@@ -375,6 +375,91 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+# --- corpus-level boilerplate strip ------------------------------------------
+
+BOILER_DF_PCT = 80  # word is boilerplate in a source if present in
+                    # ≥ this % of the source's documents
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal — the corpus-level
+    counterpart of the per-page header/footer strip: a word that
+    appears in ≥ BOILER_DF_PCT% of a source's documents is that
+    source's boilerplate vocabulary; every document is rebuilt without
+    it (position order preserved). This is the C4-style 'remove lines
+    repeated across the corpus' pass at word granularity.
+
+    Scale shape: one keyed aggregate computes the per-(source, word)
+    document frequency (map-side combine collapses each partition to
+    its distinct pairs first); the resulting boilerplate vocabulary is
+    tiny (≤ vocab × sources) and BROADCASTS back onto the exploded
+    corpus for the anti join, so the corpus never shuffles by word for
+    the removal; the rebuild is one groupBy(doc_id) with an in-group
+    array sort — integer thresholds (df·100 ≥ pct·n_docs), no float."""
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", F.expr(_W_EXPR).alias("w"))
+    n_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    words = docs.select(
+        "doc_id", "source",
+        F.posexplode("w").alias("pos", "word"))
+    dfreq = (words.select("source", "word", "doc_id").distinct()
+             .groupBy("source", "word")
+             .agg(F.count("*").alias("df")))
+    boiler = (dfreq.join(F.broadcast(n_src), "source")
+              .filter(F.col("df") * 100
+                      >= F.lit(BOILER_DF_PCT) * F.col("n_docs"))
+              .select("source", "word"))
+    kept = words.join(F.broadcast(boiler), ["source", "word"],
+                      "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.expr("concat_ws(' ', transform(array_sort("
+                           "collect_list(struct(pos, word))), "
+                           "s -> s.word))").alias("cleaned_text"),
+                    F.count("*").alias("n_kept")))
+    base = docs.select("doc_id", F.size("w").cast("long")
+                       .alias("n_words"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    (F.col("n_words")
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                     .alias("cleaned_text"))
+            .orderBy("doc_id"))
+
+
+ORACLE_BOILERPLATE = f"""
+WITH docsw AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), n_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM docsw GROUP BY source
+), words AS (
+  SELECT doc_id, source, unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM docsw
+), dfreq AS (
+  SELECT source, word, COUNT(DISTINCT doc_id) AS df
+  FROM words GROUP BY source, word
+), boiler AS (
+  SELECT d.source, d.word FROM dfreq d JOIN n_src n ON d.source = n.source
+  WHERE d.df * 100 >= {BOILER_DF_PCT} * n.n_docs
+), kept AS (
+  SELECT w.doc_id, w.pos, w.word FROM words w
+  ANTI JOIN boiler b ON w.source = b.source AND w.word = b.word
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(len(d.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM docsw d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- SemDeDup-style semantic dedup -------------------------------------------
 
 SEMDEDUP_TAU = 0.30  # rounded-cosine threshold (p99 of the synthetic
@@ -455,5 +540,6 @@ QUERIES = {
     "gopher_quality_filter": (q_gopher_quality_filter, ORACLE_GOPHER),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "temperature_sample": (q_temperature_sample, ORACLE_TEMPERATURE),
+    "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMDEDUP),
 }

@@ -288,3 +288,12 @@ class TestCurationPlans:
         plan = plan_of(curation.q_semantic_dedup(spark, SF_DIR))
         assert nodes(plan, "CartesianProduct") == 0, plan
         assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+    def test_boilerplate_vocab_broadcasts_for_removal(self, spark):
+        """The boilerplate vocabulary is tiny — it must broadcast back
+        onto the exploded corpus (anti join), so the corpus never
+        shuffles by word for the removal step."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_boilerplate_strip(spark, SF_DIR))
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan

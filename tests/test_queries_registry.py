@@ -205,3 +205,36 @@ class TestCurationOperators:
             assert r.n_neighbors >= 1
         for r in keeps:
             assert r.keeper_id is None and r.n_neighbors == 0
+
+    def test_boilerplate_strip_semantics(self, spark):
+        """Removed words are exactly the source's high-DF vocabulary;
+        surviving words keep their original order."""
+        from collections import defaultdict
+
+        from pdf_extractor_spark.queries import curation as cu
+        docs = spark.read.parquet(
+            f"{self.SF}/documents.parquet").collect()
+        by_src = defaultdict(list)
+        for d in docs:
+            by_src[d.source].append(d)
+        boiler = {}
+        for src, ds in by_src.items():
+            df = defaultdict(int)
+            for d in ds:
+                for w in set(x for x in d.text.split(" ") if x):
+                    df[w] += 1
+            boiler[src] = {w for w, c in df.items()
+                           if c * 100 >= cu.BOILER_DF_PCT * len(ds)}
+        expected = {}
+        for d in docs:
+            words = [w for w in d.text.split(" ") if w]
+            kept = [w for w in words if w not in boiler[d.source]]
+            expected[d.doc_id] = (len(words), len(words) - len(kept),
+                                  " ".join(kept))
+        got = cu.q_boilerplate_strip(spark, self.SF).collect()
+        assert len(got) == len(docs)
+        for r in got:
+            n_words, n_removed, cleaned = expected[r.doc_id]
+            assert r.n_words == n_words, r.doc_id
+            assert r.n_removed == n_removed, r.doc_id
+            assert r.cleaned_text == cleaned, r.doc_id

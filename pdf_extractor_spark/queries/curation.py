@@ -15,6 +15,9 @@ tokenization, each expressed Spark-first with a DuckDB oracle:
 - ``temperature_sample``: per-language temperature-flattened sampling
   (T = 0.5) with an md5-derived deterministic keep decision — the
   multilingual rebalancing pass;
+- ``boilerplate_strip``: cross-document boilerplate removal — each
+  source's ≥80%-document-frequency vocabulary stripped from every
+  document, text rebuilt in position order;
 - ``semantic_dedup``: SemDeDup-style near-duplicate removal — within
   trained-k-means clusters, drop every vector that has a more-senior
   (smaller vec_id) neighbor above a cosine threshold.
@@ -40,9 +43,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- intra-document n-gram repetition ---------------------------------------
 
-# Word array + n-gram arrays as pure projections (zip_with over slices)
-# — gram formation never shuffles; the only exchanges are the
-# (doc_id, n, gram) count and the per-(doc_id, n) rollup.
+# Word array + n-gram arrays as pure projections (zip_with over
+# slices) — the whole repetition profile is computed without any data
+# shuffle (see q_ngram_repetition).
 _W_EXPR = "filter(split(text, ' '), x -> x <> '')"
 _BG_EXPR = ("zip_with(slice(w, 1, greatest(size(w)-1, 0)), "
             "slice(w, 2, greatest(size(w)-1, 0)), "
@@ -88,9 +91,10 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is the presentation sort. The first cut of this
     query shuffled (doc_id, n, gram) strings through two keyed
     aggregates; on a 500k-doc corpus that moved 55M gram strings and
-    ran 137s at local[4] — the projection form is ~14× faster and
-    per-doc independent at any corpus size. Docs with fewer than n
-    words have no row for that n."""
+    ran 137s at local[4] — the projection form is 4.8× faster
+    (28.8s, efficiency 0.653 → 0.901; BENCH/BASELINE.md) and per-doc
+    independent at any corpus size. Docs with fewer than n words have
+    no row for that n."""
     docs = _t(spark, sf_dir, "documents") \
         .select("doc_id", F.expr(_W_EXPR).alias("w"))
     per_n = docs.select(

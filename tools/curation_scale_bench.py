@@ -144,6 +144,8 @@ def run_level(cpus: int, docs_dir: str, emb_dir: str,
               lambda: naive_pack(synth_tok(spark, pack_rows)))
     timed("temperature_sample",
           lambda: cu.q_temperature_sample(spark, docs_dir))
+    timed("boilerplate_strip",
+          lambda: cu.q_boilerplate_strip(spark, docs_dir))
     timed("semantic_dedup",
           lambda: cu.q_semantic_dedup(spark, emb_dir))
     stop_spark()

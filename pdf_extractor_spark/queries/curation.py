@@ -172,8 +172,19 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE projection — word stats are array aggregates,
     the bigram signals come from the same zero-shuffle fold as
     ``ngram_repetition`` — so there is no join, no window, and the
-    only exchange is the presentation sort."""
-    docs = _t(spark, sf_dir, "documents") \
+    only exchange is the presentation sort. Because the body
+    (``gopher_filter``) is a stateless projection it applies to a
+    STREAMING DataFrame unchanged — the same verdict logic runs per
+    micro-batch with no state store (parity pinned by
+    tests/test_streaming.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_filter(docs).orderBy("doc_id")
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """The filter body: any DataFrame (batch or streaming) with
+    (doc_id, text) in, one verdict row per document out."""
+    docs = docs \
         .select("doc_id", F.expr(_W_EXPR).alias("w")) \
         .withColumn("bg", F.expr(_BG_EXPR))
     joined = (docs
@@ -199,7 +210,7 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("dup_bp") >= DUP_BG_MAX_BP, "repetition")
         .when(F.col("top_bp") >= TOP_BG_MAX_BP, "top_ngram")
         .otherwise("kept"))
-    return joined.withColumn("verdict", verdict).orderBy("doc_id")
+    return joined.withColumn("verdict", verdict)
 
 
 ORACLE_GOPHER = _GRAMS_CTE + f""", bg AS (

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .curation import DUP_BG_MAX_BP as _REP_CAP
+
 STOPWORDS = {
     "en": ["the", "a", "and", "of"],
     "fr": ["le", "la", "et", "un"],
@@ -412,15 +414,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full C4-style curation verdict — the pipeline this engine
     exists to run, composed from the individual oracle-checked passes:
     benchmark holdout → exact-dedup keep/reject → contamination check →
-    quality floor. One row per document with the FIRST failing rule as
-    its verdict (rule order fixed), so downstream `WHERE verdict =
-    'kept'` is the training corpus.
+    quality floor → intra-document repetition cap. One row per document
+    with the FIRST failing rule as its verdict (rule order fixed), so
+    downstream `WHERE verdict = 'kept'` is the training corpus.
 
     Plan shape at 100 TB: quality and dedup are each one keyed
-    aggregate; contamination probes a broadcast shingle set; the final
-    assembly joins on doc_id (co-partitioned). Nothing here is new
-    machinery — it is the composition that matters."""
+    aggregate; contamination probes a broadcast shingle set; the
+    repetition signal is a zero-shuffle projection (the
+    ``ngram_repetition`` fold) computed in the same scan that anchors
+    the assembly; the final assembly joins on doc_id (co-partitioned).
+    Nothing here is new machinery — it is the composition that
+    matters."""
     from . import dedup as ddp
+    from .curation import _BG_EXPR, _W_EXPR
 
     docs = _t(spark, sf_dir, "documents")
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
@@ -432,7 +438,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("is_duplicate")))
     contam = ddp.q_benchmark_contamination(spark, sf_dir) \
         .select("doc_id", "contaminated")
-    out = (docs.select("doc_id")
+    base = (docs.select("doc_id", F.expr(_W_EXPR).alias("w"))
+            .withColumn("bg", F.expr(_BG_EXPR))
+            .select("doc_id", F.expr(
+                "IF(size(bg) = 0, CAST(0 AS BIGINT), "
+                "(10000 * (CAST(size(bg) AS BIGINT) "
+                "- CAST(size(array_distinct(bg)) AS BIGINT))) "
+                "div CAST(size(bg) AS BIGINT))").alias("rep_bp")))
+    out = (base
            .join(quality, "doc_id", "left")
            .join(dup, "doc_id", "left")
            .join(contam, "doc_id", "left")
@@ -441,12 +454,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.coalesce("quality_bp", F.lit(0)).alias("quality_bp"),
                "is_duplicate",
                F.coalesce("contaminated", F.lit(False))
-                .alias("contaminated")))
+                .alias("contaminated"),
+               "rep_bp"))
+    from .curation import DUP_BG_MAX_BP
     verdict = (
         F.when((F.col("doc_id") % ddp.BENCHMARK_MOD) == 0, "benchmark")
         .when(F.col("is_duplicate"), "duplicate")
         .when(F.col("contaminated"), "contaminated")
         .when(F.col("quality_bp") < CURATION_QUALITY_MIN, "low_quality")
+        .when(F.col("rep_bp") >= DUP_BG_MAX_BP, "repetition")
         .otherwise("kept"))
     return out.withColumn("verdict", verdict).orderBy("doc_id")
 
@@ -484,21 +500,35 @@ per_doc AS (
   SELECT c.doc_id, COUNT(*) > 0 AS contaminated
   FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0) c
   JOIN bench USING (shingle) GROUP BY c.doc_id
+), rep AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(bg) = 0 THEN 0
+              ELSE (10000 * (len(bg) - len(list_distinct(bg)))) // len(bg)
+              END AS BIGINT) AS rep_bp
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                 AS bg
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents))
 )
 SELECT d.doc_id,
        COALESCE(q.quality_bp, 0) AS quality_bp,
        dup.is_duplicate,
        COALESCE(co.contaminated, FALSE) AS contaminated,
+       r.rep_bp,
        CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
             WHEN dup.is_duplicate THEN 'duplicate'
             WHEN COALESCE(co.contaminated, FALSE) THEN 'contaminated'
             WHEN COALESCE(q.quality_bp, 0) < {CURATION_QUALITY_MIN}
               THEN 'low_quality'
+            WHEN r.rep_bp >= {_REP_CAP} THEN 'repetition'
             ELSE 'kept' END AS verdict
 FROM documents d
 LEFT JOIN qual q ON q.doc_id = d.doc_id
 LEFT JOIN dup ON dup.doc_id = d.doc_id
 LEFT JOIN contam co ON co.doc_id = d.doc_id
+LEFT JOIN rep r ON r.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

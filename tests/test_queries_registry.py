@@ -89,6 +89,7 @@ class TestCurationProperties:
     def test_curation_verdict_consistent_with_flags(self, spark):
         """Each doc gets exactly one verdict, and the verdict agrees
         with its component flags under the fixed rule order."""
+        from pdf_extractor_spark.queries import curation as cu
         from pdf_extractor_spark.queries import dedup as ddp
         from pdf_extractor_spark.queries import textstats as ts
         rows = ts.q_curation_pipeline(
@@ -103,6 +104,8 @@ class TestCurationProperties:
                 assert r.verdict == "contaminated"
             elif r.quality_bp < ts.CURATION_QUALITY_MIN:
                 assert r.verdict == "low_quality"
+            elif r.rep_bp >= cu.DUP_BG_MAX_BP:
+                assert r.verdict == "repetition"
             else:
                 assert r.verdict == "kept"
 

@@ -96,3 +96,28 @@ def test_streaming_failures_go_to_dead_letter(spark, tmp_path):
     assert len(drows) == 1
     assert drows[0].url == "https://x.example/bad.pdf"
     assert "PdfParseError" in drows[0].reason
+
+
+def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
+    """The curation quality filter is a stateless zero-shuffle
+    projection, so the SAME body (curation.gopher_filter) runs on a
+    streaming DataFrame with no state store and no watermark — per-doc
+    verdicts must equal the batch twin's."""
+    from pdf_extractor_spark.queries.curation import gopher_filter
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+
+    sink = f"stream_gopher_{os.getpid()}"
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    q = (gopher_filter(stream_docs)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {r.doc_id: (r.n_words, r.wlen_bp, r.dup_bp, r.top_bp, r.verdict)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {r.doc_id: (r.n_words, r.wlen_bp, r.dup_bp, r.top_bp, r.verdict)
+            for r in gopher_filter(docs).collect()}
+    assert got == want

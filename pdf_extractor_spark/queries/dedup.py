@@ -62,18 +62,34 @@ _HASH_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
 
 # 3-token shingles, guarded for docs with <3 whitespace tokens: Spark's
 # sequence(0, size-3) with size<3 yields a DESCENDING sequence (e.g.
-# [0,-1]), so split(...)[i+1] throws under ANSI mode (Spark 4 default)
-# and emits bogus ''/partial shingles with ANSI off — diverging from the
-# DuckDB oracle, whose generate_series(1, len-2) is empty for len<3.
-# The CASE guard makes short docs produce an empty shingle set in both
-# engines (matching the oracle exactly).
-_SHINGLES_SPARK = (
-    "CASE WHEN size(split(text,' ')) >= 3 THEN"
-    " transform(sequence(0, size(split(text,' '))-3),"
-    " i -> concat_ws(' ', split(text,' ')[i],"
-    " split(text,' ')[i+1], split(text,' ')[i+2]))"
+# [0,-1]), so w[i+1] throws under ANSI mode (Spark 4 default) and emits
+# bogus ''/partial shingles with ANSI off — diverging from the DuckDB
+# oracle, whose generate_series(1, len-2) is empty for len<3.  The CASE
+# guard makes short docs produce an empty shingle set in both engines
+# (matching the oracle exactly).
+#
+# The expression reads the word array from a column `w` that MUST be
+# staged in its own projection (see _shingled) — inlining
+# split(text,' ') here re-evaluates the split inside the per-shingle
+# lambda, i.e. 3 full splits of the document PER SHINGLE.  Measured on
+# the 500k-doc stress corpus at local[16]: 69.5s inlined vs 5.0s
+# staged, identical checksums.
+_SHINGLES_FROM_W = (
+    "CASE WHEN size(w) >= 3 THEN"
+    " transform(sequence(0, size(w)-3),"
+    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     " ELSE cast(array() as array<string>) END"
 )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) with the split-word array staged in
+    its own projection.  CollapseProject refuses to inline a non-cheap
+    alias referenced more than once, so ``w`` is computed once per
+    document and the shingle lambda only indexes into it."""
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .select("doc_id", F.expr(_SHINGLES_FROM_W).alias("sh")))
 
 
 # --- exact dedup ---------------------------------------------------------
@@ -136,8 +152,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collisions at corpus shingle cardinality are ~0 and in any case
     # produced identically on both sides)
     all_shingles = (
-        docs.select("doc_id",
-                    F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        _shingled(docs)
+        .select("doc_id", F.explode("sh").alias("shingle"))
         .select("doc_id",
                 F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10)
                  .cast("long").alias("shingle"))
@@ -709,8 +725,8 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str
     corpus against a fixed benchmark suite. Shingles travel as the same
     56-bit md5 ints as the Jaccard path."""
     docs = _t(spark, sf_dir, "documents")
-    sh = (docs.select("doc_id",
-                      F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+    sh = (_shingled(docs)
+          .select("doc_id", F.explode("sh").alias("s"))
           .select("doc_id",
                   F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
                    .cast("long").alias("shingle"))

@@ -297,3 +297,36 @@ class TestCurationPlans:
         plan = plan_of(curation.q_boilerplate_strip(spark, SF_DIR))
         assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
         assert nodes(plan, "SortMergeJoin") == 0, plan
+
+
+class TestTextstatsPlans:
+    """Round 3 rewrote the five per-document text-analysis queries
+    from explode→groupBy (one shuffled row per WORD — ~2×10^14 shuffle
+    rows at 10^12 docs) into doc-local array folds.  Pin that shape:
+    no aggregate, no explode/Generate, no Python stage; the only
+    exchange left is the presentation sort."""
+
+    @pytest.mark.parametrize("name", [
+        "q_lang_id", "q_quality_score", "q_token_count",
+        "q_doc_fingerprint", "q_doc_winnow"])
+    def test_zero_shuffle_array_fold(self, spark, name):
+        from pdf_extractor_spark.queries import textstats
+        plan = plan_of(getattr(textstats, name)(spark, SF_DIR))
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "ObjectHashAggregate") == 0, plan
+        assert nodes(plan, "SortAggregate") == 0, plan
+        assert nodes(plan, "Generate") == 0, plan  # no explode
+        assert nodes(plan, "MapInPandas") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert nodes(plan, "Window") == 0, plan
+        assert plan.count("Exchange") <= 2, plan  # presentation sort
+
+    def test_textstats_reads_only_needed_columns(self, spark):
+        """The word-array projection must not drag the full documents
+        schema through the scan."""
+        from pdf_extractor_spark.queries import textstats
+        plan = plan_of(textstats.q_token_count(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols

@@ -68,12 +68,29 @@ _HASH_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
 # guard makes short docs produce an empty shingle set in both engines
 # (matching the oracle exactly).
 #
-# The expression reads the word array from a column `w` that MUST be
-# staged in its own projection (see _shingled) — inlining
-# split(text,' ') here re-evaluates the split inside the per-shingle
-# lambda, i.e. 3 full splits of the document PER SHINGLE.  Measured on
-# the 500k-doc stress corpus at local[16]: 69.5s inlined vs 5.0s
-# staged, identical checksums.
+# TWO equivalent formulations with very different performance, chosen
+# PER CONSUMER (both measured on the 500k-doc stress corpus at
+# local[16], identical checksums — BENCH/BASELINE.md "staged-split"):
+#
+# - Explode consumers (Generate feeds the shingles straight into a
+#   shuffle) must INLINE the whole expression: Generate's codegen
+#   evaluation handles the repeated split() cheaply, while staging the
+#   array in a projection first materializes a ~200-string UnsafeArray
+#   per document before the explode — measured 26.6s inline vs
+#   47-62s staged for explode+hash over 100M shingles.
+# - Array-fold consumers (transform/aggregate over the shingle array
+#   in later projections) must STAGE via _shingled: referencing the
+#   inline expression from an interpreted lambda context re-evaluates
+#   split(text) 3× per shingle — measured 69.5s inline vs 5.0s staged
+#   for the bare shingle build.
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text,' ')) >= 3 THEN"
+    " transform(sequence(0, size(split(text,' '))-3),"
+    " i -> concat_ws(' ', split(text,' ')[i],"
+    " split(text,' ')[i+1], split(text,' ')[i+2]))"
+    " ELSE cast(array() as array<string>) END"
+)
+
 _SHINGLES_FROM_W = (
     "CASE WHEN size(w) >= 3 THEN"
     " transform(sequence(0, size(w)-3),"
@@ -86,7 +103,9 @@ def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<string>) with the split-word array staged in
     its own projection.  CollapseProject refuses to inline a non-cheap
     alias referenced more than once, so ``w`` is computed once per
-    document and the shingle lambda only indexes into it."""
+    document and the shingle lambda only indexes into it.  Use for
+    array-fold consumers ONLY — explode consumers should explode
+    ``F.expr(_SHINGLES_SPARK)`` directly (see the note above)."""
     return (docs
             .select("doc_id", F.split("text", " ").alias("w"))
             .select("doc_id", F.expr(_SHINGLES_FROM_W).alias("sh")))
@@ -152,8 +171,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collisions at corpus shingle cardinality are ~0 and in any case
     # produced identically on both sides)
     all_shingles = (
-        _shingled(docs)
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        docs.select("doc_id",
+                    F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
         .select("doc_id",
                 F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10)
                  .cast("long").alias("shingle"))
@@ -725,8 +744,8 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str
     corpus against a fixed benchmark suite. Shingles travel as the same
     56-bit md5 ints as the Jaccard path."""
     docs = _t(spark, sf_dir, "documents")
-    sh = (_shingled(docs)
-          .select("doc_id", F.explode("sh").alias("s"))
+    sh = (docs.select("doc_id",
+                      F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
           .select("doc_id",
                   F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
                    .cast("long").alias("shingle"))

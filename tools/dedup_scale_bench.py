@@ -82,16 +82,15 @@ def run_level(cpus: int, sf_dir: str, only=None) -> dict:
 def cap_stats(sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
-    from pdf_extractor_spark.queries.dedup import (JACCARD_DF_CAP,
-                                                   _shingled)
+    from pdf_extractor_spark.queries.dedup import (_SHINGLES_SPARK,
+                                                   JACCARD_DF_CAP)
     from pdf_extractor_spark.session import get_spark, stop_spark
     spark = get_spark("dedup-capstats", extra={
         "spark.ui.showConsoleProgress": "false"})
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    sh = (_shingled(docs)
-          .select("doc_id", F.explode("sh").alias("shingle"))
-          .distinct())
+    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK))
+                     .alias("shingle")).distinct()
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     row = df.agg(
         F.count("*").alias("n_shingles"),

@@ -589,7 +589,8 @@ MAX_CLUSTER_ROUNDS = 50
 
 def propagate_min_labels(docs: DataFrame, edges: DataFrame,
                          rounds: Optional[int] = None,
-                         max_rounds: int = MAX_CLUSTER_ROUNDS):
+                         max_rounds: int = MAX_CLUSTER_ROUNDS,
+                         doubling: bool = False):
     """Min-label propagation over a directed candidate-edge set
     (undirected closure is built here). Two modes:
 
@@ -603,9 +604,22 @@ def propagate_min_labels(docs: DataFrame, edges: DataFrame,
       narrow, already-checkpointed (doc_id, label, old) table — a few
       hundred bytes of driver traffic per round, never the edge set.
 
-    Each round is one keyed shuffle of (node, label);
-    ``localCheckpoint(eager=True)`` truncates lineage per round
-    (iterative-plan hygiene — otherwise the plan doubles per round).
+    ``doubling=True`` adds pointer doubling: each round also folds in
+    ``label(label(u))`` (one self-equi-join of the labels table), so a
+    label chain of length D collapses in O(log D) rounds instead of D
+    — the move that matters at 10^12 docs, where an adversarial
+    stitching chain (boilerplate pages bridging buckets pairwise) can
+    make graph diameter, and hence plain-propagation round count,
+    unbounded. Cost: one extra keyed shuffle of the NARROW (doc_id,
+    label) table per round, repaid exponentially in rounds saved.
+    Labels stay monotone non-increasing and every folded value is the
+    label of a connected node, so the fixpoint is unchanged — proven
+    against the recursive-CTE oracle and union-find in tests.
+
+    Each round is one keyed shuffle of (node, label) (two with
+    doubling); ``localCheckpoint(eager=True)`` truncates lineage per
+    round (iterative-plan hygiene — otherwise the plan doubles per
+    round).
 
     Returns ``(labels, rounds_run)`` where labels has (doc_id, label).
     """
@@ -618,10 +632,21 @@ def propagate_min_labels(docs: DataFrame, edges: DataFrame,
     for _ in range(n_rounds):
         nbr = (undirected.join(labels, undirected.doc_b == labels.doc_id)
                .select(F.col("doc_a").alias("doc_id"), F.col("label")))
-        merged = (labels
-                  .select("doc_id", "label", F.col("label").alias("old"))
-                  .union(nbr.select("doc_id", "label",
-                                    F.lit(None).cast("long").alias("old")))
+        parts = [
+            labels.select("doc_id", "label", F.col("label").alias("old")),
+            nbr.select("doc_id", "label",
+                       F.lit(None).cast("long").alias("old")),
+        ]
+        if doubling:
+            lab2 = labels.select(F.col("doc_id").alias("l2_id"),
+                                 F.col("label").alias("l2_label"))
+            ptr = (labels.join(lab2, labels.label == lab2.l2_id)
+                   .select("doc_id", F.col("l2_label").alias("label"),
+                           F.lit(None).cast("long").alias("old")))
+            parts.append(ptr)
+        merged = (parts[0].union(parts[1]) if len(parts) == 2
+                  else parts[0].union(parts[1]).union(parts[2]))
+        merged = (merged
                   .groupBy("doc_id")
                   .agg(F.min("label").alias("label"),
                        F.min("old").alias("old"))
@@ -670,21 +695,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-to-convergence cluster assignment (VERDICT r02 #3): the same
-    min-label propagation, but looping until a round changes NO label —
-    the 10^12-doc mode, where a fixed round count cannot be trusted to
-    cover the worst stitching chain. Per round: one keyed shuffle plus
-    one tiny count on the checkpointed label table; the loop exits on
-    the first zero-change round (graph diameter + 1 rounds total).
+    """Run-to-convergence cluster assignment (VERDICT r02 #3): min-label
+    propagation WITH POINTER DOUBLING, looping until a round changes NO
+    label — the 10^12-doc mode, where a fixed round count cannot be
+    trusted to cover the worst stitching chain. Doubling folds
+    label(label(u)) into each round, so round count is O(log diameter)
+    instead of diameter+1 — a 19-hop chain converges in 6 rounds, not
+    20 (tests/test_scale_rewrites.py). Per round: two keyed shuffles
+    (edge propagation + the labels self-join) plus one tiny count on
+    the checkpointed label table; the loop exits on the first
+    zero-change round.
 
     Oracle: DuckDB recursive-CTE transitive closure over the same star
     edges — label = min(doc_id, min reachable doc_id), i.e. the true
     connected-components fixpoint, which is exactly what convergence
-    yields regardless of round count."""
+    yields regardless of round count or propagation schedule."""
     edges = q_dedup_minhash_lsh(spark, sf_dir) \
         .select("doc_a", "doc_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    labels, _ran = propagate_min_labels(docs, edges, rounds=None)
+    labels, _ran = propagate_min_labels(docs, edges, rounds=None,
+                                        doubling=True)
     return _cluster_report(labels)
 
 

@@ -153,6 +153,14 @@ def test_converged_propagation_beats_fixed_rounds_on_long_chain(spark):
     want = {v: min(c for c in comp if comp[c] == comp[v]) for v in comp}
     assert labels == want
 
+    # pointer doubling: identical fixpoint in O(log diameter) rounds —
+    # the chain needs ~diameter rounds plain (ran_conv ≈ 20) but only
+    # a handful with label(label(u)) folded in each round
+    dbl, ran_dbl = dedup.propagate_min_labels(docs, edges, rounds=None,
+                                              doubling=True)
+    assert {r.doc_id: r.label for r in dbl.collect()} == want
+    assert ran_dbl <= 7 < ran_conv
+
 
 def test_trained_ivf_recall_vs_bruteforce(spark):
     """VERDICT r02 #4 recall note: trained-IVF (2 Lloyd rounds, probe-3)

@@ -1,0 +1,395 @@
+"""Web-corpus curation operators beyond the reference: exact substring
+(duplicate-span) detection, span-coverage scrub verdicts, and URL
+canonicalization.
+
+These are the training-data hygiene passes a Common-Crawl-scale corpus
+needs that the sketch-based dedup family (queries/dedup.py) cannot
+express: MinHash/SimHash decide whether two DOCUMENTS are near-dups;
+the span operators here find the exact duplicated SUBSTRINGS (the
+"deduplicating training data makes language models better" operation —
+memorized boilerplate, licence blocks, syndicated passages), and the
+URL operator normalizes the join key every per-URL stage upstream
+relies on.
+
+Scale posture (the 100-TB design):
+
+- k-gram postings shuffle as 56-bit md5-derived ints (not strings),
+  exactly like the Jaccard posting join in queries/dedup.py.
+- The posting self-join is guarded by a document-frequency cap: a
+  k-gram present in more than SPAN_DF_CAP documents is boilerplate so
+  universal that it would put O(n²) pairs behind one shuffle key
+  (near-universal k-grams carry the least span signal and all of the
+  skew). Hashes seen in only ONE document — the overwhelming bulk of
+  postings on a clean corpus — are pruned before the join ever
+  shuffles.
+- Span assembly is the classic gaps-and-islands rewrite: matches on
+  the same (doc_a, doc_b) diagonal with consecutive positions collapse
+  into one maximal span via ONE window keyed by the pair — no
+  iterative merging, no driver loop.
+- URL canonicalization is pure whole-stage-codegen string algebra
+  (split_part / lower / lambda filter + sort) — no UDF, no shuffle.
+
+All three queries have DuckDB oracles built from the same algebra
+(identical hashing, identical 1-based positions, identical param
+filters), so parity is bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SPAN_K = 8          # tokens per k-gram seed
+SPAN_MIN_TOKENS = 12  # minimal reported span length (tokens)
+SPAN_DF_CAP = 20    # drop k-grams present in more than this many docs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# k-gram postings with 1-based positions. STAGED split (the
+# queries/dedup.py staged-split rule): the k-gram text is assembled by
+# a transform LAMBDA — an interpreted context that would re-evaluate
+# an inline split(text) once per k-gram — so the word array is staged
+# in its own projection and the lambda only slices it (measured 1.5×
+# at sf0.1, growing with document length).  This differs from the
+# 3-gram explode consumers, which inline: there the expression feeds
+# Generate directly with no lambda re-reference.
+_KGRAMS_FROM_W = (
+    f"CASE WHEN size(w) >= {SPAN_K} THEN"
+    f" transform(sequence(1, size(w)-{SPAN_K - 1}),"
+    f" i -> array_join(slice(w, i, {SPAN_K}), ' '))"
+    " ELSE cast(array() as array<string>) END"
+)
+
+
+def _kgram_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) — pos 1-based, h a 56-bit md5 prefix int."""
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .select("doc_id",
+                    F.posexplode(F.expr(_KGRAMS_FROM_W)).alias("i", "kg"))
+            .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"),
+                    F.conv(F.substring(F.md5("kg"), 1, 14), 16, 10)
+                     .cast("long").alias("h")))
+
+
+def _span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans ≥ SPAN_MIN_TOKENS:
+    (doc_a, doc_b, start_a, start_b, span_len)."""
+    kg = _kgram_postings(_t(spark, sf_dir, "documents"))
+    shared = (kg.groupBy("h")
+              .agg(F.countDistinct("doc_id").alias("df"))
+              .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_DF_CAP))
+              .select("h"))
+    kg = kg.join(shared, "h")
+    a, b = kg.alias("a"), kg.alias("b")
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.pos").alias("pa"),
+                     F.col("b.pos").alias("pb")))
+    # two matches on the same diagonal with consecutive pa belong to
+    # the same maximal span: islands via pa - row_number()
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (pairs.select("doc_a", "doc_b", "pa", "pb", diag)
+            .withColumn("run_id", F.col("pa") - F.row_number().over(w)))
+    return (runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+            .agg(F.min("pa").alias("start_a"),
+                 F.min("pb").alias("start_b"),
+                 (F.count("*") + F.lit(SPAN_K - 1)).alias("span_len"))
+            .filter(F.col("span_len") >= SPAN_MIN_TOKENS)
+            .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, the span-level operation document
+    sketches cannot see: every maximal token span of length ≥
+    SPAN_MIN_TOKENS shared verbatim by two documents.
+
+    Matching SPAN_K-gram seeds (hashed, DF-capped) self-join on the
+    hash; seeds from the same document pair whose positions advance in
+    lockstep (equal pa−pb diagonal, consecutive pa) are one maximal
+    span, collapsed by a single pair-keyed window — gaps-and-islands,
+    not iteration. Top-50 under a unique total order."""
+    return (_span_runs(spark, sf_dir)
+            .orderBy(F.desc("span_len"), "doc_a", "doc_b", "start_a")
+            .limit(50))
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+{SPAN_K - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-{SPAN_K - 1})) AS i)
+  WHERE len(ws) >= {SPAN_K}
+), shared AS (
+  SELECT h FROM kg GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kg a JOIN shared USING (h) JOIN kg b USING (h)
+  WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS run_id
+  FROM pairs
+)
+SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       COUNT(*) + {SPAN_K - 1} AS span_len
+FROM runs GROUP BY doc_a, doc_b, diag, run_id
+HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+ORDER BY span_len DESC, doc_a, doc_b, start_a LIMIT 50
+"""
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scrub verdict from the duplicate spans: for every
+    document that appears as the JUNIOR side (doc_b — higher doc_id
+    loses, the same seniority rule as the dedup family), merge its
+    span intervals (they overlap when several partners share the same
+    passage), count covered tokens, and emit the duplicated-token
+    fraction in basis points plus a keep/trim verdict at 20%.
+
+    Interval union is the second gaps-and-islands pass: intervals
+    ordered by start fall into one island while each start ≤ the
+    running max end of its predecessors — one doc-keyed window, one
+    aggregate, no per-doc iteration."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = _span_runs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"))
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    # running max end over STRICTLY PRECEDING intervals; first interval
+    # of a doc starts island 0
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (spans
+               .withColumn("new_island",
+                           F.when(prev_max.isNull()
+                                  | (F.col("s") > prev_max), 1)
+                           .otherwise(0))
+               .withColumn("island",
+                           F.sum("new_island").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    merged = (islands.groupBy("doc_id", "island")
+              .agg((F.max("e") - F.min("s") + 1).alias("cov")))
+    covered = merged.groupBy("doc_id").agg(F.sum("cov").alias("dup_tokens"))
+    base = docs.select("doc_id",
+                       F.size(F.split("text", " ")).cast("long")
+                       .alias("n_tokens"))
+    out = (base.join(covered, "doc_id", "left")
+           .withColumn("dup_tokens",
+                       F.coalesce(F.col("dup_tokens"), F.lit(0)))
+           .withColumn("dup_bp",
+                       F.floor(F.col("dup_tokens") * 10000
+                               / F.col("n_tokens")).cast("long"))
+           .withColumn("verdict",
+                       F.when(F.col("dup_bp") >= 2000, F.lit("trim"))
+                       .otherwise(F.lit("keep"))))
+    return (out.select("doc_id", "n_tokens", "dup_tokens", "dup_bp",
+                       "verdict")
+            .orderBy("doc_id"))
+
+
+ORACLE_SPAN_SCRUB = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+{SPAN_K - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-{SPAN_K - 1})) AS i)
+  WHERE len(ws) >= {SPAN_K}
+), shared AS (
+  SELECT h FROM kg GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kg a JOIN shared USING (h) JOIN kg b USING (h)
+  WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS run_id
+  FROM pairs
+), spans AS (
+  SELECT doc_b AS doc_id, MIN(pb) AS s,
+         MIN(pb) + COUNT(*) + {SPAN_K - 1} - 1 AS e
+  FROM runs GROUP BY doc_a, doc_b, diag, run_id
+  HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked
+), merged AS (
+  SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov
+  FROM islands GROUP BY doc_id, island
+), covered AS (
+  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CAST(FLOOR(COALESCE(c.dup_tokens, 0) * 10000.0
+                  / len(string_split(d.text, ' '))) AS BIGINT) AS dup_bp,
+       CASE WHEN FLOOR(COALESCE(c.dup_tokens, 0) * 10000.0
+                       / len(string_split(d.text, ' '))) >= 2000
+            THEN 'trim' ELSE 'keep' END AS verdict
+FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- URL canonicalization --------------------------------------------------
+
+# Deterministic messy URLs derived from (doc_id, source): uppercase
+# scheme/host variants, www. prefixes, explicit default ports,
+# tracking params in shuffled positions, fragments. Built with the
+# same arithmetic in both engines so the operator (not the synthesis)
+# is what the oracle checks.
+_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,"
+    " source, '.Example.COM',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " '/Docs/', cast(doc_id as string),"
+    " '?utm_source=feed&ref=', cast(doc_id % 7 as string), '&b=2&a=1',"
+    " CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+_URL_SQL = (
+    "concat(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,"
+    " source, '.Example.COM',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " '/Docs/', CAST(doc_id AS VARCHAR),"
+    " '?utm_source=feed&ref=', CAST(doc_id % 7 AS VARCHAR), '&b=2&a=1',"
+    " CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass that makes per-URL
+    dedup/lineage keys stable across crawls: lowercase scheme and host,
+    strip a leading www., drop the scheme's default port, drop the
+    fragment, remove utm_* tracking params, and sort the surviving
+    query params. Path case is PRESERVED (paths are case-sensitive;
+    hosts are not).
+
+    Pure string algebra on built-ins (split_part / lower / lambda
+    filter + array_sort) — whole-stage codegen end to end, no UDF, no
+    shuffle beyond the presentation sort. The DuckDB oracle mirrors
+    each step with list_filter/list_sort, so divergence in any rule
+    (e.g. the LIKE-free utm_ prefix test — '_' is a LIKE wildcard)
+    breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    parts = (url
+             .withColumn("nofrag", F.expr("split_part(url, '#', 1)"))
+             .withColumn("scheme",
+                         F.lower(F.expr("split_part(nofrag, '://', 1)")))
+             .withColumn("rest", F.expr("split_part(nofrag, '://', 2)"))
+             .withColumn("hostport", F.expr("split_part(rest, '/', 1)"))
+             .withColumn("pathq",
+                         F.expr("substr(rest, length(hostport) + 1)"))
+             .withColumn("host0",
+                         F.lower(F.expr("split_part(hostport, ':', 1)")))
+             .withColumn("host",
+                         F.when(F.expr("substr(host0, 1, 4) = 'www.'"),
+                                F.expr("substr(host0, 5)"))
+                         .otherwise(F.col("host0")))
+             .withColumn("port", F.expr("split_part(hostport, ':', 2)"))
+             .withColumn("path", F.expr("split_part(pathq, '?', 1)"))
+             .withColumn("query", F.expr("split_part(pathq, '?', 2)")))
+    canon = (parts
+             .withColumn(
+                 "params",
+                 F.expr("array_sort(filter(split(query, '&'),"
+                        " p -> substr(p, 1, 4) != 'utm_' AND p != ''))"))
+             .withColumn(
+                 "keep_port",
+                 F.when((F.col("port") == "")
+                        | ((F.col("scheme") == "https")
+                           & (F.col("port") == "443"))
+                        | ((F.col("scheme") == "http")
+                           & (F.col("port") == "80")), F.lit(""))
+                 .otherwise(F.concat(F.lit(":"), F.col("port"))))
+             .withColumn(
+                 "canonical_url",
+                 F.concat(
+                     F.col("scheme"), F.lit("://"), F.col("host"),
+                     F.col("keep_port"), F.col("path"),
+                     F.when(F.size("params") > 0,
+                            F.concat(F.lit("?"),
+                                     F.array_join("params", "&")))
+                     .otherwise(F.lit("")))))
+    return (canon.select("doc_id", "url", "canonical_url", "host")
+            .orderBy("doc_id"))
+
+
+ORACLE_URL_CANONICALIZE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SQL} AS url FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM u
+), parts2 AS (
+  SELECT doc_id, url, scheme,
+         split_part(rest, '/', 1) AS hostport,
+         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM parts
+), parts3 AS (
+  SELECT doc_id, url, scheme, pathq,
+         CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port
+  FROM parts2
+), parts4 AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE concat(':', port) END AS keep_port,
+         split_part(pathq, '?', 1) AS path,
+         list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                               p -> substr(p, 1, 4) != 'utm_' AND p != ''))
+           AS params
+  FROM parts3
+)
+SELECT doc_id, url,
+       concat(scheme, '://', host, keep_port, path,
+              CASE WHEN len(params) > 0
+                   THEN concat('?', array_to_string(params, '&'))
+                   ELSE '' END) AS canonical_url,
+       host
+FROM parts4 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
+    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+}

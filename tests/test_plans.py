@@ -330,3 +330,33 @@ class TestTextstatsPlans:
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id", "text"}, cols
+
+
+class TestWebcurPlans:
+    """Web-curation operators (queries/webcur.py): the span join must
+    stay an equi-join on the k-gram hash (never a nested loop — the
+    DF cap exists so the hash key is joinable at scale), and URL
+    canonicalization must stay pure codegen string algebra."""
+
+    def test_duplicate_spans_equi_join_only(self, spark):
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_duplicate_spans(spark, SF_DIR))
+        assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+        assert nodes(plan, "CartesianProduct") == 0, plan
+        assert nodes(plan, "MapInPandas") == 0, plan
+        # islands assembly is ONE window keyed by the doc pair
+        assert nodes(plan, "Window") == 1, plan
+
+    def test_url_canonicalize_is_scan_project_sort(self, spark):
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_url_canonicalize(spark, SF_DIR))
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "Generate") == 0, plan
+        assert nodes(plan, "MapInPandas") == 0, plan
+        assert plan.count("Exchange") <= 2, plan  # presentation sort
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "source"}, cols

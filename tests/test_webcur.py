@@ -1,0 +1,125 @@
+"""Semantics of the web-curation operators (queries/webcur.py) on
+crafted corpora: duplicate-span detection finds exactly the maximal
+shared token spans, span_scrub merges overlapping intervals before
+counting, and URL canonicalization applies each rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries import webcur
+
+pytestmark = pytest.mark.spark
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", f"src{i}", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _tok(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestDuplicateSpans:
+    def test_exact_shared_span_found_with_maximal_length(self, spark,
+                                                         tmp_path):
+        shared = _tok("dup", 20)
+        sf = _write_docs(spark, tmp_path, [
+            _tok("a", 10) + " " + shared + " " + _tok("b", 10),
+            _tok("c", 5) + " " + shared + " " + _tok("d", 15),
+            _tok("e", 40),  # no overlap
+        ])
+        rows = webcur.q_duplicate_spans(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # maximal, not fragmented: one span of exactly 20 tokens,
+        # 1-based starts just past each prefix
+        assert (r.doc_a, r.doc_b, r.span_len) == (0, 1, 20)
+        assert (r.start_a, r.start_b) == (11, 6)
+
+    def test_spans_below_minimum_are_not_reported(self, spark, tmp_path):
+        shared = _tok("dup", webcur.SPAN_MIN_TOKENS - 1)
+        sf = _write_docs(spark, tmp_path, [
+            shared + " " + _tok("a", 20),
+            shared + " " + _tok("b", 20),
+        ])
+        assert webcur.q_duplicate_spans(spark, sf).count() == 0
+
+    def test_two_separate_spans_stay_separate(self, spark, tmp_path):
+        s1, s2 = _tok("x", 15), _tok("y", 15)
+        sf = _write_docs(spark, tmp_path, [
+            s1 + " " + _tok("a", 10) + " " + s2,
+            s2 + " " + _tok("b", 10) + " " + s1,
+        ])
+        rows = webcur.q_duplicate_spans(spark, sf).collect()
+        # crossed order ⇒ different diagonals ⇒ two spans of 15
+        assert sorted(r.span_len for r in rows) == [15, 15]
+
+    def test_df_cap_suppresses_universal_boilerplate(self, spark,
+                                                     tmp_path):
+        boiler = _tok("boiler", 20)
+        sf = _write_docs(
+            spark, tmp_path,
+            [boiler + " " + _tok(f"u{i}_", 10)
+             for i in range(webcur.SPAN_DF_CAP + 2)])
+        # the 20-token block is shared by MORE than SPAN_DF_CAP docs:
+        # every seed k-gram is over-frequent, so no span survives
+        assert webcur.q_duplicate_spans(spark, sf).count() == 0
+
+
+class TestSpanScrub:
+    def test_overlapping_spans_count_union_not_sum(self, spark,
+                                                   tmp_path):
+        # doc 2 (junior everywhere) shares tokens 1..20 with doc 0 and
+        # tokens 11..30 with doc 1: union = 30 tokens, sum = 40
+        block = _tok("s", 30)
+        toks = block.split(" ")
+        sf = _write_docs(spark, tmp_path, [
+            " ".join(toks[:20]) + " " + _tok("a", 12),
+            " ".join(toks[10:30]) + " " + _tok("b", 12),
+            block + " " + _tok("c", 12),
+        ])
+        rows = {r.doc_id: r for r in
+                webcur.q_span_scrub(spark, sf).collect()}
+        assert rows[2].dup_tokens == 30
+        assert rows[2].n_tokens == 42
+        assert rows[2].verdict == "trim"
+        # seniors keep their copies: doc 0 is never a junior side
+        assert rows[0].dup_tokens == 0
+        assert rows[0].verdict == "keep"
+
+    def test_clean_docs_keep(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path,
+                         [_tok("a", 30), _tok("b", 30)])
+        rows = webcur.q_span_scrub(spark, sf).collect()
+        assert all(r.verdict == "keep" and r.dup_tokens == 0
+                   for r in rows)
+
+
+class TestUrlCanonicalize:
+    def test_rules_applied_per_branch(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, [_tok("w", 5)] * 6)
+        rows = {r.doc_id: r for r in
+                webcur.q_url_canonicalize(spark, sf).collect()}
+        # doc 0: HTTPS + WWW. + :443 + utm + fragment all normalized
+        assert rows[0].url.startswith("HTTPS://WWW.")
+        assert rows[0].canonical_url == \
+            "https://src0.example.com/Docs/0?a=1&b=2&ref=0"
+        assert rows[0].host == "src0.example.com"
+        # doc 1: no www, no port, no fragment; params still sorted,
+        # utm_ stripped, path case preserved
+        assert rows[1].canonical_url == \
+            "https://src1.example.com/Docs/1?a=1&b=2&ref=1"
+        # doc 3: explicit default :443 dropped
+        assert ":443" in rows[3].url
+        assert ":443" not in rows[3].canonical_url
+        # fragment never survives
+        assert all("#" not in r.canonical_url for r in rows.values())
+        # tracking params never survive
+        assert all("utm_" not in r.canonical_url for r in rows.values())

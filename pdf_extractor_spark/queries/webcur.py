@@ -86,24 +86,31 @@ def _span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("h"))
     kg = kg.join(shared, "h")
     a, b = kg.alias("a"), kg.alias("b")
+    # pb is derivable as pa - diag, so it is DROPPED before the
+    # shuffle: the window sort below is the bandwidth-bound stage
+    # (40M+ seed rows on the stress corpus) and every long it carries
+    # is paid twice (shuffle write + sort)
     pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
                      F.col("a.pos").alias("pa"),
-                     F.col("b.pos").alias("pb")))
+                     (F.col("a.pos") - F.col("b.pos")).alias("diag")))
     # two matches on the same diagonal with consecutive pa belong to
-    # the same maximal span: islands via pa - row_number()
-    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    # the same maximal span: islands via pa - row_number().  The
+    # follow-up groupBy keys on a SUPERSET of the window's partition
+    # keys, so it reuses the window's distribution — one exchange
+    # total after the join.
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (pairs.select("doc_a", "doc_b", "pa", "pb", diag)
-            .withColumn("run_id", F.col("pa") - F.row_number().over(w)))
+    runs = pairs.withColumn("run_id",
+                            F.col("pa") - F.row_number().over(w))
     return (runs.groupBy("doc_a", "doc_b", "diag", "run_id")
             .agg(F.min("pa").alias("start_a"),
-                 F.min("pb").alias("start_b"),
                  (F.count("*") + F.lit(SPAN_K - 1)).alias("span_len"))
             .filter(F.col("span_len") >= SPAN_MIN_TOKENS)
-            .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))
+            .select("doc_a", "doc_b", "start_a",
+                    (F.col("start_a") - F.col("diag")).alias("start_b"),
+                    "span_len"))
 
 
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,19 +157,14 @@ ORDER BY span_len DESC, doc_a, doc_b, start_a LIMIT 50
 """
 
 
-def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document scrub verdict from the duplicate spans: for every
-    document that appears as the JUNIOR side (doc_b — higher doc_id
-    loses, the same seniority rule as the dedup family), merge its
-    span intervals (they overlap when several partners share the same
-    passage), count covered tokens, and emit the duplicated-token
-    fraction in basis points plus a keep/trim verdict at 20%.
+def _merged_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of a junior document's duplicated-span intervals:
+    (doc_id, s, e) with overlapping/adjacent-by-overlap spans merged.
 
     Interval union is the second gaps-and-islands pass: intervals
     ordered by start fall into one island while each start ≤ the
     running max end of its predecessors — one doc-keyed window, one
     aggregate, no per-doc iteration."""
-    docs = _t(spark, sf_dir, "documents")
     spans = _span_runs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
@@ -180,9 +182,23 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("island",
                            F.sum("new_island").over(
                                w.rowsBetween(Window.unboundedPreceding, 0))))
-    merged = (islands.groupBy("doc_id", "island")
-              .agg((F.max("e") - F.min("s") + 1).alias("cov")))
-    covered = merged.groupBy("doc_id").agg(F.sum("cov").alias("dup_tokens"))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+            .select("doc_id", "s", "e"))
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scrub verdict from the duplicate spans: for every
+    document that appears as the JUNIOR side (doc_b — higher doc_id
+    loses, the same seniority rule as the dedup family), merge its
+    span intervals (they overlap when several partners share the same
+    passage), count covered tokens, and emit the duplicated-token
+    fraction in basis points plus a keep/trim verdict at 20%.
+    Interval union: see ``_merged_intervals``."""
+    docs = _t(spark, sf_dir, "documents")
+    merged = _merged_intervals(spark, sf_dir)
+    covered = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"))
     base = docs.select("doc_id",
                        F.size(F.split("text", " ")).cast("long")
                        .alias("n_tokens"))
@@ -256,6 +272,111 @@ SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
                        / len(string_split(d.text, ' '))) >= 2000
             THEN 'trim' ELSE 'keep' END AS verdict
 FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_span_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub as an actual corpus TRANSFORMATION: rebuild each
+    junior document's text with every duplicated-span token removed
+    (seniors keep their copy — exactly one copy of each shared passage
+    survives corpus-wide).
+
+    The merged intervals collect into ONE tiny array per junior doc
+    (a doc_id-keyed join, rows = docs with any duplication, not
+    tokens); the removal itself is a doc-local array fold — tokens are
+    position-tagged with transform, filtered by an exists() over the
+    interval array, and re-joined — so the corpus never shuffles by
+    token. The DuckDB oracle does the opposite (explode + anti-join +
+    ordered string_agg), making the fold's off-by-one surface
+    hash-checked from both directions."""
+    docs = _t(spark, sf_dir, "documents")
+    ivs = (_merged_intervals(spark, sf_dir)
+           .groupBy("doc_id")
+           .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                .alias("ivs")))
+    out = (docs.join(ivs, "doc_id", "left")
+           .withColumn("ivs", F.coalesce(
+               F.col("ivs"),
+               F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")))
+           .withColumn("w", F.split("text", " "))
+           .withColumn(
+               "kept",
+               F.expr("transform(filter(transform(w,"
+                      " (t, i) -> named_struct('t', t, 'p', i + 1)),"
+                      " x -> NOT exists(ivs,"
+                      " iv -> x.p >= iv.s AND x.p <= iv.e)),"
+                      " y -> y.t)"))
+           .select("doc_id",
+                   F.size("w").cast("long").alias("n_tokens"),
+                   F.size("kept").cast("long").alias("kept_tokens"),
+                   F.array_join("kept", " ").alias("scrubbed_text")))
+    return out.orderBy("doc_id")
+
+
+ORACLE_SPAN_SCRUB_TEXT = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+{SPAN_K - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-{SPAN_K - 1})) AS i)
+  WHERE len(ws) >= {SPAN_K}
+), shared AS (
+  SELECT h FROM kg GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kg a JOIN shared USING (h) JOIN kg b USING (h)
+  WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS run_id
+  FROM pairs
+), spans AS (
+  SELECT doc_b AS doc_id, MIN(pb) AS s,
+         MIN(pb) + COUNT(*) + {SPAN_K - 1} - 1 AS e
+  FROM runs GROUP BY doc_a, doc_b, diag, run_id
+  HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked
+), merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY doc_id, island
+), tokens AS (
+  SELECT doc_id, i AS pos, ws[i] AS tok
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+), covered AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM merged
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokens t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(k.scrubbed_text, '') AS scrubbed_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+) k ON d.doc_id = k.doc_id
 ORDER BY d.doc_id
 """
 
@@ -391,5 +512,6 @@ FROM parts4 ORDER BY doc_id
 QUERIES = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
+    "span_scrub_text": (q_span_scrub_text, ORACLE_SPAN_SCRUB_TEXT),
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
 }

@@ -94,6 +94,26 @@ class TestSpanScrub:
         assert rows[0].dup_tokens == 0
         assert rows[0].verdict == "keep"
 
+    def test_scrub_text_removes_exactly_the_union(self, spark,
+                                                  tmp_path):
+        block = _tok("s", 30)
+        toks = block.split(" ")
+        pre, post = _tok("c", 3), _tok("d", 3)
+        sf = _write_docs(spark, tmp_path, [
+            " ".join(toks[:20]) + " " + _tok("a", 12),
+            " ".join(toks[10:30]) + " " + _tok("b", 12),
+            pre + " " + block + " " + post,
+        ])
+        rows = {r.doc_id: r for r in
+                webcur.q_span_scrub_text(spark, sf).collect()}
+        # junior doc 2 loses the 30 covered tokens, keeps its own
+        # prefix and suffix in order
+        assert rows[2].scrubbed_text == pre + " " + post
+        assert rows[2].kept_tokens == 6
+        # seniors keep their text verbatim
+        assert rows[0].scrubbed_text.startswith(" ".join(toks[:20]))
+        assert rows[0].kept_tokens == rows[0].n_tokens
+
     def test_clean_docs_keep(self, spark, tmp_path):
         sf = _write_docs(spark, tmp_path,
                          [_tok("a", 30), _tok("b", 30)])

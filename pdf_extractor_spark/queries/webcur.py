@@ -276,6 +276,99 @@ ORDER BY d.doc_id
 """
 
 
+def q_span_scrub_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub decision WITHOUT the pair join — the 10^12-doc path,
+    exactly parallel to the LSH star-edge move (all-pairs for
+    reporting, linear for the decision): a token is duplicated iff it
+    sits inside a k-gram shared with ANY more-senior document
+    (min(doc_id) of the hash < this doc_id). That needs only a per-hash
+    min — one map-side-combined groupBy — joined back to the postings;
+    Θ(postings), never Θ(pairs), so the Θ(K²)-per-clique seed blowup
+    the pairwise spans pay on replica-dense corpora (measured
+    BENCH/BASELINE.md) never happens, and no DF cap is needed at all:
+    a boilerplate k-gram shared by a million documents is ONE row in
+    the owners table, and marking its occurrences covered is exactly
+    the right answer.
+
+    Semantics differ from span_scrub deliberately: coverage counts
+    every shared SPAN_K-gram (no SPAN_MIN_TOKENS floor and no per-pair
+    attribution) — the production definition when the decision is
+    "how much of this doc is duplicated", not "against whom".
+    Coverage union: seeds sorted per doc, a gap > SPAN_K starts a new
+    covered interval (each seed covers K tokens, so intervals with
+    seed gap ≤ K merge seamlessly); per-interval coverage =
+    max_pos − min_pos + SPAN_K. The DuckDB oracle counts DISTINCT
+    covered positions by exploding each seed's K-token range — the
+    opposite construction, so the interval algebra is cross-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    kg = _kgram_postings(docs)
+    owners = kg.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    seeds = (kg.join(owners, "h")
+             .filter(F.col("owner") < F.col("doc_id"))
+             .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (seeds
+               .withColumn("gap",
+                           F.col("pos") - F.lag("pos").over(w))
+               .withColumn("new_island",
+                           F.when(F.col("gap").isNull()
+                                  | (F.col("gap") > SPAN_K), 1)
+                           .otherwise(0))
+               .withColumn("island",
+                           F.sum("new_island").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    covered = (islands.groupBy("doc_id", "island")
+               .agg((F.max("pos") - F.min("pos") + SPAN_K).alias("cov"))
+               .groupBy("doc_id")
+               .agg(F.sum("cov").alias("dup_tokens")))
+    base = docs.select("doc_id",
+                       F.size(F.split("text", " ")).cast("long")
+                       .alias("n_tokens"))
+    out = (base.join(covered, "doc_id", "left")
+           .withColumn("dup_tokens",
+                       F.coalesce(F.col("dup_tokens"), F.lit(0)))
+           .withColumn("dup_bp",
+                       F.floor(F.col("dup_tokens") * 10000
+                               / F.col("n_tokens")).cast("long"))
+           .withColumn("verdict",
+                       F.when(F.col("dup_bp") >= 2000, F.lit("trim"))
+                       .otherwise(F.lit("keep"))))
+    return (out.select("doc_id", "n_tokens", "dup_tokens", "dup_bp",
+                       "verdict")
+            .orderBy("doc_id"))
+
+
+ORACLE_SPAN_SCRUB_STAR = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+{SPAN_K - 1}], ' ')), 1, 14)) AS BIGINT) AS h
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-{SPAN_K - 1})) AS i)
+  WHERE len(ws) >= {SPAN_K}
+), owners AS (
+  SELECT h, MIN(doc_id) AS owner FROM kg GROUP BY h
+), cov AS (
+  SELECT DISTINCT k.doc_id, p.pos2
+  FROM kg k JOIN owners o USING (h),
+       LATERAL (SELECT unnest(generate_series(k.pos, k.pos + {SPAN_K - 1})) AS pos2) p
+  WHERE o.owner < k.doc_id
+), covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CAST(FLOOR(COALESCE(c.dup_tokens, 0) * 10000.0
+                  / len(string_split(d.text, ' '))) AS BIGINT) AS dup_bp,
+       CASE WHEN FLOOR(COALESCE(c.dup_tokens, 0) * 10000.0
+                       / len(string_split(d.text, ' '))) >= 2000
+            THEN 'trim' ELSE 'keep' END AS verdict
+FROM documents d LEFT JOIN covered c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_span_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrub as an actual corpus TRANSFORMATION: rebuild each
     junior document's text with every duplicated-span token removed
@@ -512,6 +605,7 @@ FROM parts4 ORDER BY doc_id
 QUERIES = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
+    "span_scrub_star": (q_span_scrub_star, ORACLE_SPAN_SCRUB_STAR),
     "span_scrub_text": (q_span_scrub_text, ORACLE_SPAN_SCRUB_TEXT),
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
 }

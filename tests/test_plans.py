@@ -347,6 +347,20 @@ class TestWebcurPlans:
         # islands assembly is ONE window keyed by the doc pair
         assert nodes(plan, "Window") == 1, plan
 
+    def test_span_scrub_star_no_pair_join(self, spark):
+        """The star scrub must stay Θ(postings): equi-joins only, and
+        no self-join of postings with postings (the owners side is an
+        aggregate, so a second Generate-fed scan would betray a pair
+        join shape)."""
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_span_scrub_star(spark, SF_DIR))
+        assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+        assert nodes(plan, "CartesianProduct") == 0, plan
+        assert nodes(plan, "MapInPandas") == 0, plan
+        # islands = lag + running sum: two Window passes (different
+        # frames) off ONE doc_id exchange/sort — not a second shuffle
+        assert nodes(plan, "Window") == 2, plan
+
     def test_url_canonicalize_is_scan_project_sort(self, spark):
         from pdf_extractor_spark.queries import webcur
         plan = plan_of(webcur.q_url_canonicalize(spark, SF_DIR))

@@ -122,6 +122,45 @@ class TestSpanScrub:
                    for r in rows)
 
 
+class TestSpanScrubStar:
+    def test_counts_any_senior_shared_kgram(self, spark, tmp_path):
+        # a shared block of exactly SPAN_K tokens: below the pairwise
+        # SPAN_MIN_TOKENS floor, but the star coverage counts it
+        shared = _tok("dup", webcur.SPAN_K)
+        sf = _write_docs(spark, tmp_path, [
+            shared + " " + _tok("a", 20),
+            shared + " " + _tok("b", 20),
+        ])
+        rows = {r.doc_id: r for r in
+                webcur.q_span_scrub_star(spark, sf).collect()}
+        assert rows[1].dup_tokens == webcur.SPAN_K
+        # the senior copy owns the k-gram: not covered
+        assert rows[0].dup_tokens == 0
+
+    def test_matches_pairwise_union_on_long_overlap(self, spark,
+                                                    tmp_path):
+        # same corpus as the pairwise union test: doc 2 junior to both
+        # partners, union 30 tokens — star agrees with the pairwise
+        # scrub when every span clears the pairwise floor
+        block = _tok("s", 30)
+        toks = block.split(" ")
+        sf = _write_docs(spark, tmp_path, [
+            " ".join(toks[:20]) + " " + _tok("a", 12),
+            " ".join(toks[10:30]) + " " + _tok("b", 12),
+            block + " " + _tok("c", 12),
+        ])
+        star = {r.doc_id: r.dup_tokens for r in
+                webcur.q_span_scrub_star(spark, sf).collect()}
+        pairwise = {r.doc_id: r.dup_tokens for r in
+                    webcur.q_span_scrub(spark, sf).collect()}
+        assert star[2] == pairwise[2] == 30
+        assert star[0] == pairwise[0] == 0
+        # doc 1 is junior to doc 0 on the 10-token overlap — below the
+        # pairwise 12-token floor but ≥ SPAN_K, so only star counts it
+        assert pairwise[1] == 0
+        assert star[1] == 10
+
+
 class TestUrlCanonicalize:
     def test_rules_applied_per_branch(self, spark, tmp_path):
         sf = _write_docs(spark, tmp_path, [_tok("w", 5)] * 6)

@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 from tools.dedup_scale_bench import build_corpus  # noqa: E402
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(cpus: int, sf_dir: str, only=None) -> dict:
     from pyspark.sql import functions as F
 
     from pdf_extractor_spark.queries import webcur
@@ -33,6 +33,10 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     spark = get_spark(f"webcur-bench-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 8),
                       extra={"spark.ui.showConsoleProgress": "false"})
+    # warm the session + OS page cache so the first timed job does not
+    # absorb the JVM/scan startup floor (the cheap queries would
+    # otherwise measure session startup, not the operator)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     out = {}
     jobs = [
         ("duplicate_spans_full",
@@ -45,12 +49,19 @@ def run_level(cpus: int, sf_dir: str) -> dict:
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("doc_id", "dup_tokens",
                                   "dup_bp", "verdict")).alias("ck"))),
+        ("span_scrub_star",
+         lambda: webcur.q_span_scrub_star(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("doc_id", "dup_tokens",
+                                  "dup_bp", "verdict")).alias("ck"))),
         ("url_canonicalize",
          lambda: webcur.q_url_canonicalize(spark, sf_dir).agg(
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("doc_id", "canonical_url")).alias("ck"))),
     ]
     for name, thunk in jobs:
+        if only and name not in only:
+            continue
         t0 = time.time()
         row = thunk().collect()[0]
         out[name] = {"sec": round(time.time() - t0, 2),
@@ -67,11 +78,14 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of query names")
     args = ap.parse_args()
+    only = set(args.queries.split(",")) if args.queries else None
     sf_dir = f"/tmp/dedup_scale_x{args.factor}"
     build_corpus(args.factor, sf_dir)
-    lo = run_level(args.lo, sf_dir)
-    hi = run_level(args.hi, sf_dir)
+    lo = run_level(args.lo, sf_dir, only)
+    hi = run_level(args.hi, sf_dir, only)
     eff = {n: round((lo[n]["sec"] / hi[n]["sec"]) / (args.hi / args.lo), 3)
            for n in lo}
     mismatch = [n for n in lo if lo[n]["checksum"] != hi[n]["checksum"]]

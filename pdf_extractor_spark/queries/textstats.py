@@ -597,7 +597,102 @@ ORDER BY d.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality signal: score every document by
+    its average negative log-likelihood under a bigram language model
+    trained on the corpus itself (high ⇒ improbable word sequences —
+    gibberish, OCR noise, keyword stuffing; the perplexity-filter
+    signal of the CCNet pipeline).
+
+    LM: maximum-likelihood conditionals p(w2|w1) = c(w1 w2) / c(w1 ·)
+    over bigram EVENTS (the head count is the sum of its bigram
+    counts, so probabilities sum to exactly 1 per head and the
+    self-trained score has no unseen-bigram case). Scoring: each
+    bigram contributes −ln p as an INTEGER in micro-nats, computed
+    once per LM ENTRY (not per occurrence) — integer sums are
+    partition-order independent, where a double sum would make the
+    result bytes depend on the partitioning (the repo's decimal-exact
+    aggregate rule applied to logs).
+
+    Scale shape: training shuffles one row per bigram occurrence
+    (map-side combined) — inherent, done once; SCORING joins doc
+    bigrams against the LM (a broadcast in the deployed train-once
+    configuration) and the per-doc aggregate partial-combines to ~one
+    shuffled row per document. Bigrams travel as 56-bit md5 ints.
+    The bigram text is assembled by a transform lambda ⇒ the word
+    array is STAGED (the staged-split rule)."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", F.expr(_W_ARR).alias("w")))
+    h56 = lambda col: F.conv(F.substring(F.md5(col), 1, 14), 16, 10) \
+        .cast("long")
+    bg = (docs
+          .select("doc_id", F.explode(F.expr(
+              "CASE WHEN size(w) >= 2 THEN"
+              " transform(sequence(0, size(w)-2),"
+              " i -> struct(w[i] as head, concat_ws(' ', w[i], w[i+1])"
+              " as bgt)) ELSE"
+              " cast(array() as array<struct<head:string,bgt:string>>)"
+              " END")).alias("p"))
+          .select("doc_id", h56(F.col("p.head")).alias("head_h"),
+                  h56(F.col("p.bgt")).alias("bg_h")))
+    c12 = bg.groupBy("head_h", "bg_h").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("head_h").agg(F.sum("c12").alias("c1"))
+    lm = (c12.join(c1, "head_h")
+          .select("bg_h",
+                  F.round(F.log(F.col("c1").cast("double")
+                                / F.col("c12")) * 1000000)
+                  .cast("long").alias("logp_u")))
+    scored = (bg.join(lm, "bg_h")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("logp_u").alias("s")))
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    out = (base.join(scored, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                   F.coalesce(F.floor(F.col("s")
+                                      / F.col("n_bigrams")), F.lit(0))
+                   .cast("long").alias("avg_neg_ln_u")))
+    return out.orderBy("doc_id")
+
+
+ORACLE_BIGRAM_LM = """
+WITH wa AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(ws[i]), 1, 14)) AS BIGINT) AS head_h,
+         CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1]), 1, 14))
+              AS BIGINT) AS bg_h
+  FROM wa, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)
+  WHERE len(ws) >= 2
+), c12 AS (
+  SELECT head_h, bg_h, COUNT(*) AS c12 FROM bg GROUP BY head_h, bg_h
+), c1 AS (
+  SELECT head_h, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY head_h
+), lm AS (
+  SELECT bg_h,
+         CAST(ROUND(ln(CAST(c1 AS DOUBLE) / c12) * 1000000) AS BIGINT)
+           AS logp_u
+  FROM c12 JOIN c1 USING (head_h)
+), scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(logp_u) AS BIGINT) AS s
+  FROM bg b JOIN lm USING (bg_h) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(FLOOR(CAST(sc.s AS DOUBLE) / sc.n_bigrams), 0)
+            AS BIGINT) AS avg_neg_ln_u
+FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LM),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION),

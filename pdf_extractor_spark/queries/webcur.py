@@ -602,10 +602,163 @@ FROM parts4 ORDER BY doc_id
 """
 
 
+# --- Per-host document quota (C4-style host-level cap) ----------------------
+
+DOMAIN_CAP_K = 10  # keep at most this many documents per canonical host
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota — the C4-style cap that stops one mega
+    site (a wiki mirror, a link farm) from dominating the corpus: keep
+    at most DOMAIN_CAP_K documents per canonical host, preferring
+    longer documents (deterministic tiebreak on doc_id).
+
+    The host key is the same canonicalized host every per-URL stage
+    uses (lowercased, www.-stripped, port-stripped — the
+    ``url_canonicalize`` algebra), so the quota and the dedup family
+    agree on what "one site" means.
+
+    Scale posture: ``row_number() <= K`` over the host window compiles
+    to WindowGroupLimit with a PARTIAL mode before the exchange
+    (plan-pinned in tests/test_plans.py) — every input partition ships
+    at most K rows per host into the shuffle, so a host holding half
+    the crawl costs the same as any other: the skew never reaches one
+    reducer. That is what makes a host cap runnable at 10^12 rows
+    without salting."""
+    docs = _t(spark, sf_dir, "documents")
+    url = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(_URL_SPARK).alias("url"))
+    hostport = "split_part(split_part(split_part(url, '#', 1), '://', 2), '/', 1)"
+    host0 = f"lower(split_part({hostport}, ':', 1))"
+    host = (f"CASE WHEN substr({host0}, 1, 4) = 'www.'"
+            f" THEN substr({host0}, 5) ELSE {host0} END")
+    w = Window.partitionBy("host").orderBy(F.desc("n_tokens"), "doc_id")
+    return (url.withColumn("host", F.expr(host))
+            .withColumn("host_rank",
+                        F.row_number().over(w).cast("long"))
+            .filter(F.col("host_rank") <= DOMAIN_CAP_K)
+            .select("doc_id", "host", "n_tokens", "host_rank")
+            .orderBy("host", "host_rank"))
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_URL_SQL} AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, n_tokens,
+         lower(split_part(split_part(split_part(url, '#', 1), '://', 2),
+                          '/', 1)) AS hostport
+  FROM u
+), hosts AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN substr(split_part(hostport, ':', 1), 1, 4) = 'www.'
+              THEN substr(split_part(hostport, ':', 1), 5)
+              ELSE split_part(hostport, ':', 1) END AS host
+  FROM h
+), ranked AS (
+  SELECT doc_id, host, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                 ORDER BY n_tokens DESC, doc_id)
+              AS BIGINT) AS host_rank
+  FROM hosts
+)
+SELECT doc_id, host, n_tokens, host_rank
+FROM ranked WHERE host_rank <= {DOMAIN_CAP_K}
+ORDER BY host, host_rank
+"""
+
+
+# --- Mojibake repair (ftfy-style encoding fix, JVM-side) ---------------------
+
+# UTF-8 bytes misread as Latin-1/Windows-1252 leave signature sequences
+# in crawled text; repairing them is a standard curation pass (ftfy).
+# The map is applied in fixed list order via LITERAL replace() in both
+# engines — no regex dialect in play, so the oracle pins it exactly.
+_MOJIBAKE_PAIRS = [
+    ("â€™", "’"),   # â€™  -> ’
+    ("â€œ", "“"),   # â€œ  -> “
+    ("â€“", "–"),   # â€“  -> –
+    ("â€”", "—"),   # â€”  -> —
+    ("â€¦", "…"),   # â€¦  -> …
+    ("Ã©", "é"),         # Ã©   -> é
+    ("Ã¨", "è"),         # Ã¨   -> è
+    ("Ã¯", "ï"),         # Ã¯   -> ï
+    ("Ã¼", "ü"),         # Ã¼   -> ü
+    ("Ã§", "ç"),         # Ã§   -> ç
+]
+
+# Deterministic corrupt-text synthesis (same convention as _URL_SPARK):
+# three mojibake-bearing suffixes keyed on doc_id so both engines build
+# the identical dirty corpus and the REPAIR is what the oracle checks.
+_MOJI_SUFFIXES = [
+    "",
+    " Itâ€™s a naÃ¯ve cafÃ©"
+    " â€” rÃ©sumÃ©â€¦",
+    " She said â€œbonjour and left"
+    " â€“ Ã§a va",
+    " TrÃ¨s sÃ¼per indeed",
+]
+
+
+def _moji_case(quote: str) -> str:
+    branches = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN {quote}{s}{quote}"
+        for i, s in enumerate(_MOJI_SUFFIXES) if i > 0)
+    return f"concat(text, CASE {branches} ELSE '' END)"
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair pass (the ftfy step of a web pipeline) as pure
+    JVM string algebra: the signature UTF-8-read-as-Latin-1 sequences
+    are rewritten by a fixed chain of LITERAL replaces — no Python UDF,
+    no regex, no shuffle; the whole repair lives inside one
+    whole-stage-codegen projection, so at 100 TB it rides the scan.
+
+    mojibake_chars counts repaired codepoints (each 3-char â€¢-family
+    sequence collapses to 1 char, each 2-char Ã-family to 1), derived
+    from the length delta — zero extra passes over the text."""
+    docs = _t(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "doc_id", F.expr(_moji_case("'")).alias("dirty"))
+    fixed = F.col("dirty")
+    for bad, good in _MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return (corrupted
+            .withColumn("fixed_text", fixed)
+            .select("doc_id",
+                    (F.length("dirty") - F.length("fixed_text"))
+                    .cast("long").alias("mojibake_chars"),
+                    "fixed_text")
+            .orderBy("doc_id"))
+
+
+def _moji_oracle() -> str:
+    expr = _moji_case("'")
+    for bad, good in _MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    dirty = _moji_case("'")
+    return f"""
+SELECT doc_id,
+       CAST(length({dirty}) - length({expr}) AS BIGINT) AS mojibake_chars,
+       {expr} AS fixed_text
+FROM documents ORDER BY doc_id
+"""
+
+
+ORACLE_MOJIBAKE_FIX = _moji_oracle()
+
+
 QUERIES = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
     "span_scrub_star": (q_span_scrub_star, ORACLE_SPAN_SCRUB_STAR),
     "span_scrub_text": (q_span_scrub_text, ORACLE_SPAN_SCRUB_TEXT),
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "mojibake_fix": (q_mojibake_fix, ORACLE_MOJIBAKE_FIX),
 }

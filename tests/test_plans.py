@@ -374,3 +374,37 @@ class TestWebcurPlans:
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id", "source"}, cols
+
+    def test_domain_cap_partial_window_group_limit(self, spark):
+        """The host cap must ship ≤ K rows per host per input partition
+        into the shuffle: row_number <= K compiles to WindowGroupLimit
+        in Partial mode BEFORE the exchange and Final after — that pair
+        is the whole skew defense (a mega-host never concentrates in
+        one reducer), so its disappearance is a scale regression."""
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_domain_cap(spark, SF_DIR))
+        assert nodes(plan, "WindowGroupLimit") == 2, plan
+        assert re.search(r"row_number\(\), 10, Partial", plan), plan
+        assert re.search(r"row_number\(\), 10, Final", plan), plan
+        # the Partial limit sits BELOW the host exchange in the tree:
+        # in the tree section (root printed first, leaves last) the
+        # Partial node's id is smaller than the host Exchange's id
+        m = re.search(r"WindowGroupLimit \((\d+)\)\n\s+\+- Sort \(\d+\)\n"
+                      r"\s+\+- Project", plan)
+        assert m, plan  # leaf-side Partial directly above the projections
+
+    def test_mojibake_fix_is_scan_project_sort(self, spark):
+        """The encoding repair must stay a pure codegen projection: no
+        UDF, no regex... just literal StaticInvoke replaces riding the
+        scan — the only Exchange is the presentation sort."""
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_mojibake_fix(spark, SF_DIR))
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "Generate") == 0, plan
+        assert nodes(plan, "MapInPandas") == 0, plan
+        assert nodes(plan, "BatchEvalPython") == 0, plan
+        assert nodes(plan, "Exchange") <= 1, plan  # presentation sort
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols

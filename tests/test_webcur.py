@@ -182,3 +182,102 @@ class TestUrlCanonicalize:
         assert all("#" not in r.canonical_url for r in rows.values())
         # tracking params never survive
         assert all("utm_" not in r.canonical_url for r in rows.values())
+
+
+class TestDomainCap:
+    def _write_hosted_docs(self, spark, tmp_path, per_host):
+        # one host per `source`; doc lengths descend with doc_id so the
+        # expected keep-set is the lowest doc_ids of each host
+        rows = []
+        did = 0
+        for host_i, n_docs in enumerate(per_host):
+            for j in range(n_docs):
+                text = " ".join(f"w{k}" for k in range(40 - j))
+                rows.append((did, text, "en", f"host{host_i}", len(text)))
+                did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tmp_path}/documents.parquet")
+        return str(tmp_path)
+
+    def test_cap_applies_per_host_preferring_longer_docs(self, spark,
+                                                         tmp_path):
+        from pdf_extractor_spark.queries.webcur import (DOMAIN_CAP_K,
+                                                        q_domain_cap)
+        sf = self._write_hosted_docs(spark, tmp_path,
+                                     [DOMAIN_CAP_K + 5, 3])
+        rows = q_domain_cap(spark, sf).collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r.host, []).append(r)
+        assert len(by_host) == 2
+        big = by_host["host0.example.com"]
+        small = by_host["host1.example.com"]
+        # mega host truncated at exactly K; small host intact
+        assert len(big) == DOMAIN_CAP_K
+        assert len(small) == 3
+        # longer docs win: the kept docs are the first K of the host
+        # (lengths descend with doc_id) and ranks are 1..K in order
+        assert [r.doc_id for r in big] == list(range(DOMAIN_CAP_K))
+        assert [r.host_rank for r in big] == \
+            list(range(1, DOMAIN_CAP_K + 1))
+        assert big[0].n_tokens == 40
+
+    def test_tie_on_length_breaks_by_doc_id(self, spark, tmp_path):
+        from pdf_extractor_spark.queries.webcur import (DOMAIN_CAP_K,
+                                                        q_domain_cap)
+        text = " ".join(f"w{k}" for k in range(10))
+        rows = [(i, text, "en", "same", len(text))
+                for i in range(DOMAIN_CAP_K + 4)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long").coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tmp_path}/documents.parquet")
+        kept = q_domain_cap(spark, str(tmp_path)).collect()
+        assert [r.doc_id for r in kept] == list(range(DOMAIN_CAP_K))
+
+
+class TestMojibakeFix:
+    def test_all_signature_sequences_repaired(self, spark, tmp_path):
+        from pdf_extractor_spark.queries.webcur import (_MOJIBAKE_PAIRS,
+                                                        q_mojibake_fix)
+        sf = _write_docs(spark, tmp_path, [_tok("w", 5)] * 8)
+        rows = {r.doc_id: r for r in q_mojibake_fix(spark, sf).collect()}
+        assert len(rows) == 8
+        for r in rows.values():
+            for bad, _good in _MOJIBAKE_PAIRS:
+                assert bad not in r.fixed_text, (r.doc_id, bad)
+        # doc_id % 4 == 0 rows got no suffix: untouched, zero repairs
+        assert rows[0].mojibake_chars == 0
+        assert rows[0].fixed_text == _tok("w", 5)
+        assert rows[4].mojibake_chars == 0
+        # the three dirty branches each repaired something, and the
+        # repaired text carries the intended codepoints
+        assert rows[1].mojibake_chars > 0
+        assert "naïve café" in rows[1].fixed_text
+        assert "résumé…" in rows[1].fixed_text
+        assert "’" in rows[1].fixed_text
+        assert rows[2].mojibake_chars > 0
+        assert "“bonjour" in rows[2].fixed_text
+        assert "ça va" in rows[2].fixed_text
+        assert rows[3].mojibake_chars > 0
+        assert "Très süper" in rows[3].fixed_text
+
+    def test_char_accounting_matches_pair_arithmetic(self, spark,
+                                                     tmp_path):
+        # suffix 1 contains: â€™ ×1, â€” ×1, â€¦ ×1 (3→1: -2 each) and
+        # Ã¯ Ã© Ã© Ã© ×4 total (2→1: -1 each)... count from the literal
+        from pdf_extractor_spark.queries import webcur
+        sf = _write_docs(spark, tmp_path, [_tok("w", 5)] * 2)
+        rows = {r.doc_id: r for r in
+                webcur.q_mojibake_fix(spark, sf).collect()}
+        suffix = webcur._MOJI_SUFFIXES[1]
+        expected = 0
+        s = suffix
+        for bad, good in webcur._MOJIBAKE_PAIRS:
+            expected += s.count(bad) * (len(bad) - len(good))
+            s = s.replace(bad, good)
+        assert expected > 0
+        assert rows[1].mojibake_chars == expected

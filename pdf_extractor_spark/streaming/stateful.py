@@ -157,6 +157,75 @@ def _dedup_cache_group(key: Tuple[Any, ...],
     yield pd.DataFrame(out, columns=cols)
 
 
+# --- Per-host quota on a live feed (streaming twin of domain_cap) -----------
+
+QUOTA_OUTPUT_SCHEMA = ("host string, url string, host_seq long, "
+                       "kept boolean")
+QUOTA_STATE_SCHEMA = "n_seen long"
+
+# canonical host from a URL column — the url_canonicalize algebra
+# (lowercase, strip www., strip port), inlined so the quota and the
+# batch cap agree on what "one site" means
+_HOSTPORT = ("split_part(split_part(split_part(url, '#', 1), '://', 2),"
+             " '/', 1)")
+_HOST0 = f"lower(split_part({_HOSTPORT}, ':', 1))"
+HOST_EXPR = (f"CASE WHEN substr({_HOST0}, 1, 4) = 'www.'"
+             f" THEN substr({_HOST0}, 5) ELSE {_HOST0} END")
+
+
+def _domain_quota_group(k: int):
+    def fold(key: Tuple[Any, ...],
+             pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        """Admit the first k documents ever seen for this host; state
+        is ONE long per host (never evicted — a corpus quota is
+        corpus-lifetime, and 10^8 hosts × one counter is trivially
+        bounded). Rows within a batch fold in (event time, url) order
+        so the admitted set is deterministic across partitionings."""
+        (host,) = key
+        rows = []
+        for pdf in pdfs:
+            rows.extend((int(ts.value) // 1000, str(url))
+                        for ts, url in zip(pdf["warc_ts"], pdf["url"]))
+        rows.sort()
+        n = state.get[0] if state.exists else 0
+        out = []
+        for _ts, url in rows:
+            n += 1
+            out.append((host, url, n, n <= k))
+        state.update((n,))
+        yield pd.DataFrame(out, columns=["host", "url", "host_seq",
+                                         "kept"])
+    return fold
+
+
+def streaming_domain_cap(spark: SparkSession, source_dir: str,
+                         k: int = 10) -> DataFrame:
+    """readStream(pages) → per-host admission quota: every document is
+    emitted with a verdict, and at most ``k`` per canonical host are
+    ever ``kept`` across the whole stream's lifetime.
+
+    This is the quota a live crawl needs where the batch cap
+    (queries/webcur.py ``domain_cap``) sorts the finished corpus: a
+    stream cannot prefer longer documents it has not seen yet, so the
+    streaming semantics are first-k-admitted (deterministic (event
+    time, url) fold order within a batch). State per host is a single
+    counter with NO timeout — the quota is corpus-lifetime by design,
+    unlike the TTL'd dedup cache above whose state must decay."""
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (stream
+            .withColumn("host", F.expr(HOST_EXPR))
+            .groupBy("host")
+            .applyInPandasWithState(
+                _domain_quota_group(k),
+                outputStructType=QUOTA_OUTPUT_SCHEMA,
+                stateStructType=QUOTA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def streaming_dedup_cache(spark: SparkSession, source_dir: str,
                           key_col: str = "lang",
                           watermark: str = "1 minute") -> DataFrame:

@@ -152,3 +152,60 @@ def test_streaming_dedup_cache_ttl_and_eviction(spark, tmp_path):
     assert evicted[0].key == "fr" and evicted[0].evicted == 1
     # state stayed hash-only and bounded: cache never exceeded 1 entry
     assert max(r.cache_size for r in rows if r.url is not None) == 1
+
+
+def test_streaming_domain_cap_first_k_admitted_across_batches(spark,
+                                                              tmp_path):
+    """The per-host admission quota: at most k kept per canonical host
+    over the stream's LIFETIME — a host that exhausts its quota in
+    batch 1 gets only rejections in batch 2; host spellings that
+    canonicalize together share one counter."""
+    import time
+
+    from pdf_extractor_spark.streaming.stateful import \
+        streaming_domain_cap
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+
+    # batch 1: big.com posts 4 docs (quota 3) across THREE url
+    # spellings that canonicalize to one host; small.org posts 1
+    b1 = [("https://big.com/p1", t0, None, "t", "en"),
+          ("https://WWW.Big.com/p2", t0 + 1 * MIN, None, "t", "en"),
+          ("https://big.com:443/p3", t0 + 2 * MIN, None, "t", "en"),
+          ("https://big.com/p4", t0 + 3 * MIN, None, "t", "en"),
+          ("http://small.org/a", t0, None, "t", "en")]
+    # batch 2: big.com is over quota forever; small.org still has room
+    b2 = [("https://big.com/p5", t0 + 10 * MIN, None, "t", "en"),
+          ("http://small.org/b", t0 + 10 * MIN, None, "t", "en")]
+
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(2)
+
+    sink = f"domain_cap_{os.getpid()}"
+    q = (streaming_domain_cap(spark, src, k=3)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    assert len(rows) == 7  # every document verdicts, none dropped
+    by_url = {r.url: r for r in rows}
+    # all three spellings share the big.com counter
+    assert all(r.host == "big.com" for r in rows if "big" in r.url.lower())
+    # first-3-arrivals kept (event-time order), then rejected forever
+    assert by_url["https://big.com/p1"].kept
+    assert by_url["https://WWW.Big.com/p2"].kept
+    assert by_url["https://big.com:443/p3"].kept
+    assert not by_url["https://big.com/p4"].kept
+    assert not by_url["https://big.com/p5"].kept
+    # the counter persisted across batches: p5 is the 5th sighting
+    assert by_url["https://big.com/p5"].host_seq == 5
+    # small.org unaffected by big.com's quota
+    assert by_url["http://small.org/a"].kept
+    assert by_url["http://small.org/b"].kept
+    assert by_url["http://small.org/b"].host_seq == 2

@@ -518,12 +518,32 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash."""
     docs = _t(spark, sf_dir, "documents")
     url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    return (canonicalize_urls(url)
+            .select("doc_id", "url", "canonical_url", "host")
+            .orderBy("doc_id"))
+
+
+def canonicalize_urls(url: DataFrame) -> DataFrame:
+    """The canonicalization algebra over any DataFrame carrying a
+    ``url`` column (passthrough columns survive) — exposed separately
+    from the registry query so property tests can drive it on
+    arbitrary messy URLs. Idempotent by construction (a canonical URL
+    re-entering the chain is a fixed point: host already
+    lowered/www-stripped, no default port left to drop, params already
+    sorted and utm-free, no fragment), pinned by
+    tests/test_webcur.py::TestUrlCanonicalize."""
     parts = (url
              .withColumn("nofrag", F.expr("split_part(url, '#', 1)"))
              .withColumn("scheme",
                          F.lower(F.expr("split_part(nofrag, '://', 1)")))
              .withColumn("rest", F.expr("split_part(nofrag, '://', 2)"))
-             .withColumn("hostport", F.expr("split_part(rest, '/', 1)"))
+             .withColumn(
+                 "hostport",
+                 # split '?' BEFORE '/': an authority contains neither,
+                 # but a query-with-no-path URL (https://x.com?a=1) has
+                 # no '/' after the scheme, so a bare '/'-split would
+                 # swallow the query into the host/port
+                 F.expr("split_part(split_part(rest, '?', 1), '/', 1)"))
              .withColumn("pathq",
                          F.expr("substr(rest, length(hostport) + 1)"))
              .withColumn("host0",
@@ -557,8 +577,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.concat(F.lit("?"),
                                      F.array_join("params", "&")))
                      .otherwise(F.lit("")))))
-    return (canon.select("doc_id", "url", "canonical_url", "host")
-            .orderBy("doc_id"))
+    return canon.drop("nofrag", "scheme", "rest", "hostport", "pathq",
+                      "host0", "port", "path", "query", "params",
+                      "keep_port")
 
 
 ORACLE_URL_CANONICALIZE = f"""
@@ -571,8 +592,9 @@ WITH u AS (
   FROM u
 ), parts2 AS (
   SELECT doc_id, url, scheme,
-         split_part(rest, '/', 1) AS hostport,
-         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+         split_part(split_part(rest, '?', 1), '/', 1) AS hostport,
+         substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1)
+           AS pathq
   FROM parts
 ), parts3 AS (
   SELECT doc_id, url, scheme, pathq,
@@ -630,7 +652,8 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.expr(_URL_SPARK).alias("url"))
-    hostport = "split_part(split_part(split_part(url, '#', 1), '://', 2), '/', 1)"
+    hostport = ("split_part(split_part(split_part(split_part(url, '#', 1),"
+                " '://', 2), '?', 1), '/', 1)")
     host0 = f"lower(split_part({hostport}, ':', 1))"
     host = (f"CASE WHEN substr({host0}, 1, 4) = 'www.'"
             f" THEN substr({host0}, 5) ELSE {host0} END")
@@ -651,7 +674,9 @@ WITH u AS (
   FROM documents
 ), h AS (
   SELECT doc_id, n_tokens,
-         lower(split_part(split_part(split_part(url, '#', 1), '://', 2),
+         lower(split_part(split_part(split_part(split_part(url, '#', 1),
+                                                '://', 2),
+                                     '?', 1),
                           '/', 1)) AS hostport
   FROM u
 ), hosts AS (

@@ -166,8 +166,8 @@ QUOTA_STATE_SCHEMA = "n_seen long"
 # canonical host from a URL column — the url_canonicalize algebra
 # (lowercase, strip www., strip port), inlined so the quota and the
 # batch cap agree on what "one site" means
-_HOSTPORT = ("split_part(split_part(split_part(url, '#', 1), '://', 2),"
-             " '/', 1)")
+_HOSTPORT = ("split_part(split_part(split_part(split_part(url, '#', 1),"
+             " '://', 2), '?', 1), '/', 1)")
 _HOST0 = f"lower(split_part({_HOSTPORT}, ':', 1))"
 HOST_EXPR = (f"CASE WHEN substr({_HOST0}, 1, 4) = 'www.'"
              f" THEN substr({_HOST0}, 5) ELSE {_HOST0} END")

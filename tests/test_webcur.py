@@ -281,3 +281,77 @@ class TestMojibakeFix:
             s = s.replace(bad, good)
         assert expected > 0
         assert rows[1].mojibake_chars == expected
+
+
+class TestUrlCanonicalizeProperties:
+    """Seeded-random property corpus for the canonicalization algebra
+    (canonicalize_urls): idempotence and the per-rule invariants on
+    arbitrary messy URLs, not just the registry query's synthesized
+    shape; plus agreement with the streaming quota's host expression."""
+
+    def _messy_urls(self, n=250, seed=1234):
+        import random
+        rng = random.Random(seed)
+        urls = []
+        for i in range(n):
+            scheme = rng.choice(["http", "https", "HTTP", "HTTPS",
+                                 "hTtPs"])
+            www = rng.choice(["", "www.", "WWW.", "WwW."])
+            host = rng.choice(["example.com", "Sub.Domain.ORG",
+                               "x-y.net", "a.b.c.io"])
+            port = rng.choice(["", ":443", ":80", ":8080", ":8443"])
+            path = rng.choice(["", "/", "/A/b/C", "/Docs/9",
+                               "/p%20q/R"])
+            params = rng.sample(
+                ["a=1", "B=2", "utm_source=x", "utm_medium=y",
+                 "ref=7", "z=", "q=Hello"], k=rng.randint(0, 5))
+            query = "?" + "&".join(params) if params else \
+                rng.choice(["", "?"])
+            frag = rng.choice(["", "#top", "#Sec-2"])
+            urls.append((i, f"{scheme}://{www}{host}{port}"
+                            f"{path}{query}{frag}"))
+        return urls
+
+    def test_idempotent_and_invariants(self, spark):
+        from pdf_extractor_spark.queries.webcur import canonicalize_urls
+        df = spark.createDataFrame(self._messy_urls(),
+                                   "doc_id long, url string")
+        once = canonicalize_urls(df).select("doc_id", "canonical_url",
+                                            "host")
+        rows = {r.doc_id: r for r in once.collect()}
+        # re-enter the chain with the canonical URL as the input
+        twice = canonicalize_urls(
+            once.select("doc_id",
+                        once.canonical_url.alias("url"))).collect()
+        for r in twice:
+            assert r.canonical_url == rows[r.doc_id].canonical_url, \
+                (r.url, r.canonical_url)
+            assert r.host == rows[r.doc_id].host
+        for r in rows.values():
+            cu = r.canonical_url
+            assert "#" not in cu
+            assert "utm_" not in cu
+            assert not cu.split("://")[1].startswith("www.")
+            scheme, rest = cu.split("://", 1)
+            assert scheme in ("http", "https")
+            hostpart = rest.split("?")[0].split("/")[0]
+            assert hostpart == hostpart.lower()
+            # only the scheme's DEFAULT port is dropped; e.g.
+            # http://h:443 legitimately keeps its port
+            assert not (scheme == "https" and hostpart.endswith(":443"))
+            assert not (scheme == "http" and hostpart.endswith(":80"))
+            if "?" in cu:
+                ps = cu.split("?", 1)[1].split("&")
+                assert ps == sorted(ps) and all(p for p in ps)
+
+    def test_host_agrees_with_streaming_quota_expr(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.queries.webcur import canonicalize_urls
+        from pdf_extractor_spark.streaming.stateful import HOST_EXPR
+        df = spark.createDataFrame(self._messy_urls(seed=77),
+                                   "doc_id long, url string")
+        got = (canonicalize_urls(df)
+               .withColumn("stream_host", F.expr(HOST_EXPR))
+               .filter(F.col("host") != F.col("stream_host")))
+        assert got.count() == 0

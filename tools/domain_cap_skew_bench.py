@@ -123,8 +123,8 @@ def shuffle_rows(sf_dir: str) -> dict:
     spark = get_spark("domcap-rows", extra={
         "spark.ui.showConsoleProgress": "false"})
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hostport = ("split_part(split_part(split_part(url, '#', 1), '://', 2),"
-                " '/', 1)")
+    hostport = ("split_part(split_part(split_part(split_part(url, '#', 1),"
+                " '://', 2), '?', 1), '/', 1)")
     host0 = f"lower(split_part({hostport}, ':', 1))"
     host = (f"CASE WHEN substr({host0}, 1, 4) = 'www.'"
             f" THEN substr({host0}, 5) ELSE {host0} END")

@@ -789,6 +789,151 @@ FROM documents ORDER BY doc_id
 ORACLE_MOJIBAKE_FIX = _moji_oracle()
 
 
+# --- Recrawl delta / CDX-style capture dedup ---------------------------------
+
+# Deterministic multi-capture synthesis: every page is crawled several
+# times (page_key = doc_id % 100 groups captures; capture_idx orders
+# them), and each capture formats the SAME logical URL differently — in
+# exactly the ways canonicalization strips (scheme case, www., default
+# port, utm params, param order, fragment).  The operator only works if
+# canonical_url collapses all captures of a page onto one key, so this
+# doubles as an adversarial oracle for the canonicalizer.
+_CRAWL_KEY = "doc_id % 100"
+_CRAWL_IDX = "CAST(floor(doc_id / 100) AS BIGINT)"
+
+
+def _crawl_url(cat: str, cast_s: str) -> str:
+    """The capture URL in either engine's SQL dialect (`cat`/`cast_s`
+    paper over concat/CAST-to-string spelling differences)."""
+    k, i = _CRAWL_KEY, _CRAWL_IDX
+    return (
+        f"{cat}("
+        f"CASE WHEN {i} % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+        f" CASE WHEN {i} % 2 = 0 THEN 'WWW.' ELSE '' END,"
+        f" 'site-', {cast_s.format(f'({k}) % 10')}, '.example.com',"
+        f" CASE WHEN {i} % 4 = 1 THEN ':443' ELSE '' END,"
+        f" '/p/', {cast_s.format(k)},"
+        f" CASE WHEN {i} % 3 = 0 THEN '?b=2&a=1'"
+        f"      WHEN {i} % 3 = 1 THEN '?a=1&utm_source=x&b=2'"
+        f"      ELSE '?utm_medium=y&b=2&a=1' END,"
+        f" CASE WHEN {i} % 5 = 0 THEN '#top' ELSE '' END)")
+
+
+_CRAWL_URL_SPARK = _crawl_url("concat", "cast({} as string)")
+_CRAWL_URL_SQL = _crawl_url("concat", "CAST({} AS VARCHAR)")
+
+# capture timestamp (epoch seconds, monotone in doc_id) and body: the
+# body version bumps every SECOND capture, so consecutive captures
+# alternate duplicate/changed — the recrawl-dedup signal under test
+_CRAWL_TS = "CAST(1704067200 + doc_id * 60 AS BIGINT)"
+
+
+def _crawl_body(cast_s: str) -> str:
+    k, i = _CRAWL_KEY, _CRAWL_IDX
+    v = f"{i} - ({i} % 2)"
+    return (f"concat('body-', {cast_s.format(k)}, '-v',"
+            f" {cast_s.format(f'{v}')})")
+
+
+def q_crawl_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta dedup — the CDX-style pass a continuous crawl
+    runs between snapshots: collapse every capture of a page onto its
+    canonical URL, order captures by crawl time, and flag (a) whether
+    the content changed since the previous capture (``changed`` —
+    unchanged recrawls are dropped from training corpora) and (b) the
+    latest capture (``is_latest`` — the row a freshness-first corpus
+    keeps).
+
+    Scale posture: ONE shuffle keyed on canonical_url and one sort
+    under it serve all three window computations — capture rank
+    (row_number), previous-capture hash (lag), and capture count
+    (count over the unordered frame, reusing the same partitioning, so
+    is_latest = rank == n and no descending second sort is needed).
+    Canonicalization itself rides the scan (pure codegen string
+    algebra, zero shuffle). Per-page capture counts are small and
+    bounded by crawl policy, so the key never skews; at 10^12 rows
+    this is a single well-shaped exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_CRAWL_URL_SPARK).alias("url"),
+        F.expr(_CRAWL_TS).alias("ts"),
+        F.md5(F.expr(_crawl_body("cast({} as string)")))
+         .alias("content_hash"))
+    canon = canonicalize_urls(base)
+    w = Window.partitionBy("canonical_url").orderBy("ts", "doc_id")
+    wall = Window.partitionBy("canonical_url")
+    return (canon
+            .withColumn("capture_rank",
+                        F.row_number().over(w).cast("long"))
+            .withColumn("prev_hash", F.lag("content_hash").over(w))
+            .withColumn("n_captures", F.count("*").over(wall))
+            .select(
+                "canonical_url", "doc_id", "ts", "content_hash",
+                "capture_rank",
+                (F.col("prev_hash").isNull()
+                 | (F.col("content_hash") != F.col("prev_hash")))
+                .alias("changed"),
+                (F.col("capture_rank") == F.col("n_captures"))
+                .alias("is_latest"))
+            .orderBy("canonical_url", "capture_rank"))
+
+
+ORACLE_CRAWL_DELTAS = f"""
+WITH u AS (
+  SELECT doc_id, {_CRAWL_URL_SQL} AS url,
+         {_CRAWL_TS} AS ts,
+         md5({_crawl_body("CAST({} AS VARCHAR)")}) AS content_hash
+  FROM documents
+), parts AS (
+  SELECT doc_id, ts, content_hash,
+         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM u
+), parts2 AS (
+  SELECT *, split_part(split_part(rest, '?', 1), '/', 1) AS hostport,
+         substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1)
+           AS pathq
+  FROM parts
+), parts3 AS (
+  SELECT *,
+         CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port
+  FROM parts2
+), parts4 AS (
+  SELECT *,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE concat(':', port) END AS keep_port,
+         split_part(pathq, '?', 1) AS path,
+         list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                               p -> substr(p, 1, 4) != 'utm_' AND p != ''))
+           AS params
+  FROM parts3
+), canon AS (
+  SELECT doc_id, ts, content_hash,
+         concat(scheme, '://', host, keep_port, path,
+                CASE WHEN len(params) > 0
+                     THEN concat('?', array_to_string(params, '&'))
+                     ELSE '' END) AS canonical_url
+  FROM parts4
+), ranked AS (
+  SELECT canonical_url, doc_id, ts, content_hash,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS capture_rank,
+         lag(content_hash) OVER w AS prev_hash,
+         COUNT(*) OVER (PARTITION BY canonical_url) AS n_captures
+  FROM canon
+  WINDOW w AS (PARTITION BY canonical_url ORDER BY ts, doc_id)
+)
+SELECT canonical_url, doc_id, ts, content_hash, capture_rank,
+       (prev_hash IS NULL OR content_hash != prev_hash) AS changed,
+       capture_rank = n_captures AS is_latest
+FROM ranked ORDER BY canonical_url, capture_rank
+"""
+
+
 QUERIES = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
@@ -797,4 +942,5 @@ QUERIES = {
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
     "mojibake_fix": (q_mojibake_fix, ORACLE_MOJIBAKE_FIX),
+    "crawl_deltas": (q_crawl_deltas, ORACLE_CRAWL_DELTAS),
 }

@@ -393,6 +393,28 @@ class TestWebcurPlans:
                       r"\s+\+- Project", plan)
         assert m, plan  # leaf-side Partial directly above the projections
 
+    def test_crawl_deltas_single_data_exchange(self, spark):
+        """Recrawl dedup must compute all three window quantities
+        (capture rank, lag hash, capture count) off ONE exchange keyed
+        on canonical_url — the unordered count window reuses the rank
+        window's sort, so there is exactly one data Exchange plus the
+        presentation sort, one Sort, and the scan reads doc_id only
+        (url/ts/body are synthesized)."""
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_crawl_deltas(spark, SF_DIR))
+        assert nodes(plan, "Window") == 2, plan
+        assert nodes(plan, "Exchange") <= 2, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "Generate") == 0, plan
+        assert nodes(plan, "MapInPandas") == 0, plan
+        # exactly one Sort under the windows (the count window must
+        # not re-sort) + the presentation sort
+        assert nodes(plan, "Sort") <= 2, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id"}, cols
+
     def test_mojibake_fix_is_scan_project_sort(self, spark):
         """The encoding repair must stay a pure codegen projection: no
         UDF, no regex... just literal StaticInvoke replaces riding the

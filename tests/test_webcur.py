@@ -355,3 +355,34 @@ class TestUrlCanonicalizeProperties:
                .withColumn("stream_host", F.expr(HOST_EXPR))
                .filter(F.col("host") != F.col("stream_host")))
         assert got.count() == 0
+
+
+class TestCrawlDeltas:
+    def test_crawl_deltas_semantics(self, spark):
+        """Recrawl dedup at sf0.01 (500 docs → 100 pages × 5 captures):
+        capture grouping by canonical URL, rank contiguity, the
+        changed-iff-hash-changed flag, and exactly one is_latest per
+        page."""
+        from pdf_extractor_spark.queries.webcur import q_crawl_deltas
+        rows = q_crawl_deltas(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 500
+        assert sum(r.capture_rank > 1 for r in rows) == 400
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r.canonical_url, []).append(r)
+        for url, caps in by_url.items():
+            # canonicalization collapsed every capture variant
+            assert "utm_" not in url and "#" not in url
+            assert "www." not in url.split("://")[1].split("/")[0]
+            caps.sort(key=lambda r: r.capture_rank)
+            assert [c.capture_rank for c in caps] == \
+                list(range(1, len(caps) + 1))
+            assert sum(c.is_latest for c in caps) == 1
+            assert caps[-1].is_latest
+            assert caps[0].changed  # first capture is always new
+            for prev, cur in zip(caps, caps[1:]):
+                # body version bumps every SECOND capture (v = idx
+                # rounded down to even), so changed follows the hash
+                assert cur.changed == \
+                    (cur.content_hash != prev.content_hash)
+

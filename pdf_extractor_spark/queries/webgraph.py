@@ -1,0 +1,216 @@
+"""Web link-graph operators: outlink extraction and host-level
+PageRank.
+
+A Common-Crawl-scale pipeline uses the link graph as a quality signal
+(harmonic/PageRank centrality feeds corpus weighting the way CC's own
+ranked host lists do) and as crawl-frontier state. Neither operator
+exists in the reference — they belong to the training-data-pipeline
+tier this engine adds on top of it.
+
+- ``outlinks``: href extraction is pure JVM ``regexp_extract_all``
+  riding the scan (no UDF), followed by the shared canonical-host
+  algebra (lowercase, strip www., strip port — the url_canonicalize
+  rules) and ONE aggregation keyed (src_host, dst_host). At 10^12
+  pages the explode fans out ~50× but every downstream row is a short
+  host pair; the single agg shuffle is the whole data movement.
+- ``host_pagerank``: fixed-K damped PageRank (K=3, d=0.85) computed in
+  EXACT integer arithmetic (ranks in parts-per-billion, floor
+  division) so Spark and DuckDB agree bit-for-bit — float summation
+  order can flip a double's last bit across engines, integer division
+  cannot. The per-iteration plan is rank ⋈ edges (the rank side is
+  |hosts| rows — broadcast at any realistic host count) followed by
+  one sum keyed dst_host; K static iterations = K broadcast joins +
+  K agg shuffles, no driver-side action inside the loop (the whole
+  3-round computation is ONE lazy plan, so AQE sees it end to end).
+
+The deterministic HTML synthesis links each page's site to 1-3 other
+sites with messy URL formatting (www., default port, scheme case, utm
+params, fragments, and query-with-no-path — the canonicalizer's edge
+cases), so the DuckDB oracles also adversarially pin the host algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SITES = 10
+PR_ITERS = 3
+PR_UNIT = 1_000_000_000  # ranks in parts-per-billion
+PR_TELEPORT_PPB = 150_000_000  # (1 - d) * PR_UNIT with d = 0.85
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _html(cast_s: str) -> str:
+    """Deterministic page HTML with 1-3 outbound links, in either SQL
+    dialect. Site s = doc_id % N_SITES; link targets are arithmetic in
+    doc_id so both engines synthesize the identical corpus."""
+    s = f"doc_id % {N_SITES}"
+    d1 = f"({s} + 1) % {N_SITES}"
+    d2 = f"({s} + 3) % {N_SITES}"
+    d3 = f"(doc_id * 7) % {N_SITES}"
+    link1 = (f"concat('<a href=\"https://www.site-',"
+             f" {cast_s.format(d1)},"
+             f" '.example.com?utm_source=z&q=1\">x</a>')")
+    link2 = (f"concat('<a href=\"HTTP://SITE-', {cast_s.format(d2)},"
+             f" '.EXAMPLE.COM:80/b\">y</a>')")
+    link3 = (f"concat('<a href=\"https://site-', {cast_s.format(d3)},"
+             f" '.example.com/c#frag\">z</a>')")
+    return (f"concat('<html><body><p>page</p>', {link1},"
+            f" CASE WHEN doc_id % 2 = 0 THEN {link2} ELSE '' END,"
+            f" CASE WHEN doc_id % 3 = 0 THEN {link3} ELSE '' END,"
+            f" '</body></html>')")
+
+
+def _src_host(cast_s: str) -> str:
+    return (f"concat('site-', {cast_s.format(f'doc_id % {N_SITES}')},"
+            f" '.example.com')")
+
+
+# canonical host from a raw href — the url_canonicalize host rules
+# ('?' split FIRST: a query-with-no-path link has no '/' after the
+# scheme), shared text across engines via lower/split_part parity
+def _href_host(col: str) -> str:
+    hostport = (f"split_part(split_part(split_part(split_part({col},"
+                f" '#', 1), '://', 2), '?', 1), '/', 1)")
+    host0 = f"lower(split_part({hostport}, ':', 1))"
+    return (f"CASE WHEN substr({host0}, 1, 4) = 'www.'"
+            f" THEN substr({host0}, 5) ELSE {host0} END")
+
+
+_HREF_RE = 'href="([^"]+)"'
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_host, dst_host, n_links) — one agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select(F.expr(_src_host("cast({} as string)"))
+                     .alias("src_host"),
+                    F.explode(F.expr(
+                        f"regexp_extract_all({_html('cast({} as string)')},"
+                        f" '{_HREF_RE}', 1)")).alias("href"))
+            .select("src_host",
+                    F.expr(_href_host("href")).alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: hrefs via JVM regexp_extract_all over the
+    synthesized page HTML, canonical-host normalization, edge counts.
+    Scale shape: scan-side explode + ONE aggregation; no UDF, no join.
+    """
+    return (_edges(spark, sf_dir)
+            .orderBy("src_host", "dst_host"))
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration damped PageRank over the host link graph, in
+    exact parts-per-billion integer arithmetic (see module doc).
+
+    Vertices are the union of edge endpoints; every synthesized site
+    has outlinks (the s→s+1 ring guarantees it), so no dangling-mass
+    redistribution is needed. Self-loops are dropped, multiplicities
+    collapsed (classic PageRank uses the 0/1 adjacency).
+
+    rank_ppb = teleport + floor(0.85 * Σ_in floor(rank_src / outdeg)),
+    all in int64 — both engines floor identically, so the oracle hash
+    is exact. The rank side of each iteration's join is |hosts| rows:
+    broadcast by AQE at any realistic host count (plan-pinned)."""
+    edges = (_edges(spark, sf_dir)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host"))
+    deg = edges.groupBy("src_host").agg(F.count("*").alias("outdeg"))
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    n = hosts.count()  # one tiny action; N is a query constant
+    rank = hosts.select(
+        "host", F.lit(PR_UNIT // n).cast("long").alias("rank_ppb"))
+    teleport = PR_TELEPORT_PPB // n
+    for _ in range(PR_ITERS):
+        contrib = (edges
+                   .join(F.broadcast(rank),
+                         edges.src_host == rank.host)
+                   .join(F.broadcast(deg), "src_host")
+                   .select(F.col("dst_host").alias("host"),
+                           F.expr("rank_ppb div outdeg").alias("c")))
+        inflow = contrib.groupBy("host").agg(F.sum("c").alias("inflow"))
+        rank = (hosts.join(inflow, "host", "left")
+                .select("host",
+                        (F.lit(teleport)
+                         + F.expr("85 * coalesce(inflow, 0) div 100"))
+                        .cast("long").alias("rank_ppb")))
+    return rank.orderBy("host")
+
+
+def _links_sql() -> str:
+    return f"""
+  SELECT {_src_host("CAST({} AS VARCHAR)")} AS src_host,
+         {_href_host("u.href")} AS dst_host
+  FROM documents,
+       unnest(regexp_extract_all({_html("CAST({} AS VARCHAR)")},
+                                 '{_HREF_RE}', 1)) AS u(href)
+"""
+
+
+ORACLE_OUTLINKS = f"""
+WITH links AS ({_links_sql()})
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM links GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+
+def _pagerank_oracle() -> str:
+    it_prev = "r0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""r{k} AS (
+  SELECT h.host,
+         CAST((SELECT 150000000 // COUNT(*) FROM hosts)
+              + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT)
+           AS rank_ppb
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst_host, SUM(r.rank_ppb // d.outdeg) AS inflow
+    FROM edges e
+    JOIN {it_prev} r ON r.host = e.src_host
+    JOIN deg d ON d.src_host = e.src_host
+    GROUP BY e.dst_host
+  ) f ON f.dst_host = h.host
+)""")
+        it_prev = f"r{k}"
+    its = ",\n".join(iters)
+    return f"""
+WITH links AS ({_links_sql()}),
+edges AS (
+  SELECT DISTINCT src_host, dst_host FROM links
+  WHERE src_host != dst_host
+),
+hosts AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+),
+deg AS (SELECT src_host, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT host,
+         CAST((SELECT 1000000000 // COUNT(*) FROM hosts) AS BIGINT)
+           AS rank_ppb
+  FROM hosts
+),
+{its}
+SELECT host, rank_ppb FROM r{PR_ITERS} ORDER BY host
+"""
+
+
+ORACLE_HOST_PAGERANK = _pagerank_oracle()
+
+
+QUERIES = {
+    "outlinks": (q_outlinks, ORACLE_OUTLINKS),
+    "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),
+}

@@ -1,0 +1,107 @@
+"""Semantics of the link-graph operators (queries/webgraph.py) on
+crafted corpora: outlink extraction canonicalizes messy hrefs into
+host-level edges, and host PageRank matches a pure-Python integer
+reference implementation of the same fixed-point arithmetic.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries import webgraph
+
+pytestmark = pytest.mark.spark
+
+
+def _write_docs(spark, tmp_path, n_docs):
+    rows = [(i, f"doc {i}", "en", f"src{i}", 10) for i in range(n_docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _expected_edges(n_docs):
+    """The synthesized corpus's edges, recomputed in plain Python from
+    the same doc_id arithmetic (module doc: link1 always, link2 iff
+    doc_id even, link3 iff doc_id % 3 == 0)."""
+    n = webgraph.N_SITES
+    edges = {}
+    for d in range(n_docs):
+        s = d % n
+        src = f"site-{s}.example.com"
+        targets = [(s + 1) % n]
+        if d % 2 == 0:
+            targets.append((s + 3) % n)
+        if d % 3 == 0:
+            targets.append((d * 7) % n)
+        for t in targets:
+            key = (src, f"site-{t}.example.com")
+            edges[key] = edges.get(key, 0) + 1
+    return edges
+
+
+class TestOutlinks:
+    def test_edges_match_python_recomputation(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, 60)
+        rows = webgraph.q_outlinks(spark, sf).collect()
+        got = {(r.src_host, r.dst_host): r.n_links for r in rows}
+        assert got == _expected_edges(60)
+
+    def test_hosts_are_canonical(self, spark, tmp_path):
+        # the synthesis deliberately emits www., :80, UPPERCASE scheme
+        # and host, utm queries with no path, and #fragments — none may
+        # survive canonicalization
+        sf = _write_docs(spark, tmp_path, 30)
+        for r in webgraph.q_outlinks(spark, sf).collect():
+            for h in (r.src_host, r.dst_host):
+                assert h == h.lower()
+                assert not h.startswith("www.")
+                assert ":" not in h and "?" not in h and "#" not in h
+                assert h.endswith(".example.com")
+
+
+def _python_pagerank(edges):
+    """Integer PageRank mirror: same ppb units, floor divisions, and
+    iteration count as q_host_pagerank."""
+    adj = sorted({(s, d) for (s, d) in edges if s != d})
+    hosts = sorted({h for e in adj for h in e})
+    n = len(hosts)
+    outdeg = {}
+    for s, _ in adj:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {h: webgraph.PR_UNIT // n for h in hosts}
+    teleport = webgraph.PR_TELEPORT_PPB // n
+    for _ in range(webgraph.PR_ITERS):
+        inflow = {h: 0 for h in hosts}
+        for s, d in adj:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {h: teleport + 85 * inflow[h] // 100 for h in hosts}
+    return rank
+
+
+class TestHostPagerank:
+    def test_matches_integer_reference(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, 60)
+        got = {r.host: r.rank_ppb
+               for r in webgraph.q_host_pagerank(spark, sf).collect()}
+        assert got == _python_pagerank(_expected_edges(60))
+
+    def test_mass_bounded_by_unit(self, spark, tmp_path):
+        # floor divisions only ever lose mass: total rank stays in
+        # (0, PR_UNIT], which guards against double-counted inflow
+        sf = _write_docs(spark, tmp_path, 60)
+        total = (webgraph.q_host_pagerank(spark, sf)
+                 .agg(F.sum("rank_ppb")).collect()[0][0])
+        assert 0 < total <= webgraph.PR_UNIT
+
+    def test_rank_joins_are_broadcast(self, spark, tmp_path):
+        # the per-iteration rank ⋈ edges must broadcast the rank side —
+        # a sort-merge join here would shuffle the edge set K times
+        sf = _write_docs(spark, tmp_path, 60)
+        plan = (webgraph.q_host_pagerank(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -54,11 +54,13 @@ def _html(cast_s: str) -> str:
     d3 = f"(doc_id * 7) % {N_SITES}"
     link1 = (f"concat('<a href=\"https://www.site-',"
              f" {cast_s.format(d1)},"
-             f" '.example.com?utm_source=z&q=1\">x</a>')")
+             f" '.example.com?utm_source=z&q=1\">visit site ',"
+             f" {cast_s.format(d1)}, '</a>')")
     link2 = (f"concat('<a href=\"HTTP://SITE-', {cast_s.format(d2)},"
-             f" '.EXAMPLE.COM:80/b\">y</a>')")
+             f" '.EXAMPLE.COM:80/b\">best docs</a>')")
     link3 = (f"concat('<a href=\"https://site-', {cast_s.format(d3)},"
-             f" '.example.com/c#frag\">z</a>')")
+             f" '.example.com/c#frag\">site ', {cast_s.format(d3)},"
+             f" ' reference</a>')")
     return (f"concat('<html><body><p>page</p>', {link1},"
             f" CASE WHEN doc_id % 2 = 0 THEN {link2} ELSE '' END,"
             f" CASE WHEN doc_id % 3 = 0 THEN {link3} ELSE '' END,"
@@ -148,6 +150,74 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.orderBy("host")
 
 
+TOP_ANCHORS = 3
+_ANCHOR_RE = 'href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: the top-K anchor strings pointing at
+    each host — the inbound-description signal web corpora attach to a
+    target page (anchor text is the classic out-of-page relevance
+    label; at corpus scale it doubles as weak supervision for the
+    linked document).
+
+    Scale shape: both capture groups of ONE regex ride the scan as
+    ``regexp_extract_all`` twins (positionally aligned by the engine —
+    same matches, different groups), zipped by a transform lambda with
+    no UDF; then ONE count agg keyed (dst_host, anchor) and a
+    WindowGroupLimit top-K per host — per-partition limits ship at
+    most K rows per host into the final exchange, so a mega-host
+    (every page linking to it with unique anchors) cannot concentrate
+    a reducer. K and tie-break (count desc, anchor asc) are
+    deterministic total order."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    html = _html("cast({} as string)")
+    arr = docs.select(
+        F.expr(f"regexp_extract_all({html}, '{_ANCHOR_RE}', 1)")
+         .alias("hs"),
+        F.expr(f"regexp_extract_all({html}, '{_ANCHOR_RE}', 2)")
+         .alias("ts"))
+    pairs = arr.select(F.explode(F.expr(
+        "CASE WHEN size(hs) >= 1 THEN transform(sequence(1, size(hs)),"
+        " i -> struct(hs[i-1] as href, ts[i-1] as atext)) ELSE"
+        " cast(array() as array<struct<href:string,atext:string>>)"
+        " END")).alias("p"))
+    counts = (pairs
+              .select(F.expr(_href_host("p.href")).alias("dst_host"),
+                      F.col("p.atext").alias("anchor"))
+              .groupBy("dst_host", "anchor")
+              .agg(F.count("*").alias("n_refs")))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_refs"), F.asc("anchor"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_ANCHORS)
+            .orderBy("dst_host", "rk"))
+
+
+ORACLE_ANCHOR_TEXTS = f"""
+WITH arrs AS (
+  SELECT regexp_extract_all({{html}}, '{_ANCHOR_RE}', 1) AS hs,
+         regexp_extract_all({{html}}, '{_ANCHOR_RE}', 2) AS ts
+  FROM documents
+), pairs AS (
+  SELECT hs[i] AS href, ts[i] AS atext
+  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i)
+), counts AS (
+  SELECT {{host}} AS dst_host, atext AS anchor, COUNT(*) AS n_refs
+  FROM pairs GROUP BY 1, 2
+)
+SELECT dst_host, anchor, n_refs, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT dst_host, anchor, n_refs,
+         ROW_NUMBER() OVER (PARTITION BY dst_host
+                            ORDER BY n_refs DESC, anchor ASC) AS rk
+  FROM counts
+) WHERE rk <= {TOP_ANCHORS}
+ORDER BY dst_host, rk
+""".format(html=_html("CAST({} AS VARCHAR)"), host=_href_host("href"))
+
+
 def _links_sql() -> str:
     return f"""
   SELECT {_src_host("CAST({} AS VARCHAR)")} AS src_host,
@@ -212,5 +282,6 @@ ORACLE_HOST_PAGERANK = _pagerank_oracle()
 
 QUERIES = {
     "outlinks": (q_outlinks, ORACLE_OUTLINKS),
+    "anchor_texts": (q_anchor_texts, ORACLE_ANCHOR_TEXTS),
     "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),
 }

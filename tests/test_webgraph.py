@@ -62,6 +62,36 @@ class TestOutlinks:
                 assert h.endswith(".example.com")
 
 
+class TestAnchorTexts:
+    def test_topk_matches_python_recomputation(self, spark, tmp_path):
+        n_docs, n = 60, webgraph.N_SITES
+        sf = _write_docs(spark, tmp_path, n_docs)
+        counts = {}
+        for d in range(n_docs):
+            s = d % n
+            pairs = [(f"site-{(s + 1) % n}.example.com",
+                      f"visit site {(s + 1) % n}")]
+            if d % 2 == 0:
+                pairs.append((f"site-{(s + 3) % n}.example.com",
+                              "best docs"))
+            if d % 3 == 0:
+                t = (d * 7) % n
+                pairs.append((f"site-{t}.example.com",
+                              f"site {t} reference"))
+            for key in pairs:
+                counts[key] = counts.get(key, 0) + 1
+        expected = {}
+        by_host = {}
+        for (h, a), c in counts.items():
+            by_host.setdefault(h, []).append((-c, a))
+        for h, lst in by_host.items():
+            for rk, (negc, a) in enumerate(sorted(lst)[:3], start=1):
+                expected[(h, a)] = (-negc, rk)
+        got = {(r.dst_host, r.anchor): (r.n_refs, r.rk)
+               for r in webgraph.q_anchor_texts(spark, sf).collect()}
+        assert got == expected
+
+
 def _python_pagerank(edges):
     """Integer PageRank mirror: same ppb units, floor divisions, and
     iteration count as q_host_pagerank."""

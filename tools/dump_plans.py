@@ -94,6 +94,13 @@ def main() -> None:
          webcur.q_url_canonicalize(spark, SF_DIR)),
     ])
 
+    from pdf_extractor_spark.queries import webgraph
+    sections.append(
+        ("Host PageRank (3 integer iterations as ONE lazy plan: each "
+         "rank⋈edges broadcasts the |hosts|-row rank side, one sum "
+         "keyed dst_host per iteration; no driver action in the loop)",
+         webgraph.q_host_pagerank(spark, SF_DIR)))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out, "w") as f:

@@ -16,7 +16,7 @@ from typing import Callable, Dict, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (curation, dedup, extraction, mdvalidate, relational,
-               simsearch, temporal, textstats, webcur, webgraph)
+               search, simsearch, temporal, textstats, webcur, webgraph)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -26,8 +26,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query has a hash-green row in CORRECTNESS_r01/r02; the tail is additionally
 # re-verified each round via ``tools/check_oracles.py``).
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
-for mod in (extraction, mdvalidate, webcur, webgraph, curation, dedup,
-            simsearch, textstats, temporal, relational):
+for mod in (extraction, mdvalidate, webcur, webgraph, search, curation,
+            dedup, simsearch, textstats, temporal, relational):
     overlap = set(REGISTRY) & set(mod.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {sorted(overlap)}")

@@ -1,0 +1,140 @@
+"""Corpus relevance search: BM25 top-k document retrieval.
+
+A training-data pipeline uses relevance scoring for targeted data
+selection — "give me the documents most relevant to this query/domain
+mix" (the retrieval step behind DSIR-style importance sampling and
+benchmark-adjacent corpus audits). The reference has no retrieval
+surface; this is part of the LLM-pipeline tier the engine adds.
+
+Determinism contract (the repo's decimal-exact aggregate rule applied
+to BM25): the only float op is ``ln`` — computed ONCE per query term
+(≤ |terms| rows, never per posting), immediately rounded to an
+INTEGER in micro-nats. Okapi's k1=1.2 / b=0.75 are folded into one
+int64 floor division by multiplying numerator and denominator by
+20·avgdl:
+
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  = 44·avgdl·tf / (20·avgdl·tf + 6·avgdl + 18·dl)
+
+with avgdl itself floored (total_tokens div n_docs). Integer sums are
+partition-order independent, so the result bytes cannot depend on the
+physical plan — Spark and DuckDB agree bit-for-bit.
+
+Scale shape: the token explode filters to the query terms BEFORE any
+shuffle (a 3-term query ships ~3 rows per matching doc, not the
+corpus's token stream); corpus stats and per-term idf are one-row /
+|terms|-row broadcasts; the per-doc aggregate partial-combines; the
+final top-k is a single-partition window over per-partition-limited
+rows (WindowGroupLimit). int64 headroom: idf_u·44·avgdl·tf stays
+below 2^63 for avgdl·tf up to ~6·10^9 — at true corpus scale avgdl is
+a few hundred, so tf alone would need ~10^7 repeats of one term in
+one document to overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TERMS = ("spark", "vector", "stream")
+TOP_K = 20
+_W_ARR = "filter(split(text, ' '), x -> x <> '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over the documents table for the fixed query
+    ``TERMS`` (see module doc for the integer formulation)."""
+    terms_list = ", ".join(f"'{t}'" for t in TERMS)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", F.expr(_W_ARR).alias("w")))
+    dl = docs.select("doc_id", F.size("w").cast("long").alias("dl"))
+    # one-row corpus stats kept lazy (no driver action): broadcast-
+    # crossed where needed
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.expr("sum(dl) div count(*)").alias("avgdl"))
+    tf = (docs
+          .select("doc_id", F.explode("w").alias("term"))
+          .filter(F.expr(f"term IN ({terms_list})"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("term",
+                   F.round(F.log(
+                       F.lit(1.0)
+                       + (2 * F.col("n") - 2 * F.col("dfreq") + 1)
+                       .cast("double")
+                       / (2 * F.col("dfreq") + 1).cast("double"))
+                       * 1000000).cast("long").alias("idf_u")))
+    contrib = (tf
+               .join(F.broadcast(idf), "term")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats))
+               .select("doc_id", F.expr(
+                   "(idf_u * 44 * avgdl * tf)"
+                   " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)")
+                   .alias("c_u")))
+    scored = (contrib.groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms"),
+                   F.sum("c_u").alias("score_u")))
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .orderBy("rk"))
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in TERMS)
+
+ORACLE_BM25 = f"""
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE trim(text) <> ''
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(w) AS term FROM docs
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         CAST(ROUND(ln(1 + CAST(2 * s.n - 2 * dfreq + 1 AS DOUBLE)
+                        / (2 * dfreq + 1)) * 1000000) AS BIGINT)
+           AS idf_u
+  FROM dfq, stats s
+), contrib AS (
+  SELECT tf.doc_id,
+         (idf_u * 44 * s.avgdl * tf.tf)
+           // (20 * s.avgdl * tf.tf + 6 * s.avgdl + 18 * d.dl) AS c_u
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl d ON d.doc_id = tf.doc_id, stats s
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(c_u) AS BIGINT) AS score_u
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_u, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, n_terms, score_u,
+         ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY rk
+"""
+
+
+QUERIES = {
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25),
+}

@@ -47,44 +47,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k over the documents table for the fixed query
-    ``TERMS`` (see module doc for the integer formulation)."""
-    terms_list = ", ".join(f"'{t}'" for t in TERMS)
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.trim(F.col("text")) != "")
-            .select("doc_id", F.expr(_W_ARR).alias("w")))
-    dl = docs.select("doc_id", F.size("w").cast("long").alias("dl"))
-    # one-row corpus stats kept lazy (no driver action): broadcast-
-    # crossed where needed
-    stats = dl.agg(F.count("*").alias("n"),
-                   F.expr("sum(dl) div count(*)").alias("avgdl"))
-    tf = (docs
-          .select("doc_id", F.explode("w").alias("term"))
-          .filter(F.expr(f"term IN ({terms_list})"))
-          .groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    idf = (dfreq.crossJoin(F.broadcast(stats))
-           .select("term",
-                   F.round(F.log(
-                       F.lit(1.0)
-                       + (2 * F.col("n") - 2 * F.col("dfreq") + 1)
-                       .cast("double")
-                       / (2 * F.col("dfreq") + 1).cast("double"))
-                       * 1000000).cast("long").alias("idf_u")))
-    contrib = (tf
-               .join(F.broadcast(idf), "term")
-               .join(dl, "doc_id")
-               .crossJoin(F.broadcast(stats))
-               .select("doc_id", F.expr(
-                   "(idf_u * 44 * avgdl * tf)"
-                   " div (20 * avgdl * tf + 6 * avgdl + 18 * dl)")
-                   .alias("c_u")))
-    scored = (contrib.groupBy("doc_id")
-              .agg(F.count("*").alias("n_terms"),
-                   F.sum("c_u").alias("score_u")))
+    ``TERMS`` (see module doc for the integer formulation).
+
+    Zero-explode wide-aggregate shape (the minhash-signature move
+    applied to retrieval): per-doc term frequencies are
+    ``size(filter(w, x -> x = term))`` expressions — the token stream
+    never leaves the row, so the corpus is scanned ONCE and nothing
+    shuffles but (a) one 1-row stats aggregate (n, avgdl, and per-term
+    document frequencies, map-side combined) and (b) the TOP_K heads
+    of each partition (orderBy+limit = TakeOrderedAndProject; a global
+    row_number window here measured 0.36 scaling efficiency at 500k
+    docs — every scored doc shipped to one partition). The rank window
+    runs after the limit, over TOP_K rows only."""
+    tf_cols = [
+        F.expr(f"size(filter(w, x -> x = '{t}'))").cast("long")
+         .alias(f"tf_{i}")
+        for i, t in enumerate(TERMS)]
+    per_doc = (_t(spark, sf_dir, "documents")
+               .filter(F.trim(F.col("text")) != "")
+               .select("doc_id", F.expr(_W_ARR).alias("w"))
+               .select("doc_id", F.size("w").cast("long").alias("dl"),
+                       *tf_cols))
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(TERMS))])
+    # idf in micro-nats, one ln per TERM over the 1-row stats
+    idf = stats.select("n", "avgdl", *[
+        F.round(F.log(
+            F.lit(1.0)
+            + (2 * F.col("n") - 2 * F.col(f"df_{i}") + 1).cast("double")
+            / (2 * F.col(f"df_{i}") + 1).cast("double"))
+            * 1000000).cast("long").alias(f"idf_{i}")
+        for i in range(len(TERMS))])
+    c_exprs = [
+        f"CASE WHEN tf_{i} > 0 THEN (idf_{i} * 44 * avgdl * tf_{i})"
+        f" div (20 * avgdl * tf_{i} + 6 * avgdl + 18 * dl)"
+        f" ELSE 0 END"
+        for i in range(len(TERMS))]
+    n_terms = " + ".join(
+        f"CAST(tf_{i} > 0 AS LONG)" for i in range(len(TERMS)))
+    scored = (per_doc.crossJoin(F.broadcast(idf))
+              .select("doc_id",
+                      F.expr(n_terms).cast("long").alias("n_terms"),
+                      F.expr(" + ".join(c_exprs)).alias("score_u"))
+              .filter(F.col("n_terms") > 0))
+    topk = (scored.orderBy(F.desc("score_u"), F.asc("doc_id"))
+            .limit(TOP_K))
     w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
+    return (topk.withColumn("rk", F.row_number().over(w))
             .orderBy("rk"))
 
 

@@ -84,9 +84,14 @@ class TestBm25:
                for r in search.q_bm25_topk(spark, sf).collect()}
         assert ids == {0, 2}
 
-    def test_plan_broadcasts_tiny_sides(self, spark, tmp_path):
+    def test_plan_shape(self, spark, tmp_path):
+        # zero-explode wide-aggregate: no Generate (explode) node, the
+        # 1-row stats side broadcast, and the top-k as a distributed
+        # TakeOrderedAndProject — never a global row_number window over
+        # the full scored set (the measured serial tail)
         sf = _write_docs(spark, tmp_path, _corpus())
         plan = (search.q_bm25_topk(spark, sf)
                 ._jdf.queryExecution().executedPlan().toString())
-        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Generate" not in plan
         assert "CartesianProduct" not in plan

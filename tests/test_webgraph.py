@@ -128,9 +128,24 @@ class TestHostPagerank:
 
     def test_rank_joins_are_broadcast(self, spark, tmp_path):
         # the per-iteration rank ⋈ edges must broadcast the rank side —
-        # a sort-merge join here would shuffle the edge set K times
+        # a sort-merge join here would shuffle the edge set K times.
+        # The full query checkpoints each round (lineage truncated), so
+        # pin the plan of one iteration built exactly as the loop does.
+        from pyspark.sql import functions as F
+
         sf = _write_docs(spark, tmp_path, 60)
-        plan = (webgraph.q_host_pagerank(spark, sf)
+        edges = (webgraph._edges(spark, sf)
+                 .filter(F.col("src_host") != F.col("dst_host"))
+                 .select("src_host", "dst_host"))
+        deg = edges.groupBy("src_host").agg(
+            F.count("*").alias("outdeg"))
+        hosts = (edges.select(F.col("src_host").alias("host"))
+                 .union(edges.select(F.col("dst_host").alias("host")))
+                 .distinct())
+        rank = hosts.select(
+            "host", F.lit(1).cast("long").alias("rank_ppb"))
+        one_round = webgraph._pr_iterate(edges, deg, hosts, rank, 1)
+        plan = (one_round
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan

@@ -255,7 +255,9 @@ ORDER BY src_host, dst_host
 """
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_cte() -> str:
+    """The links → edges → hosts → deg → r0..r{PR_ITERS} CTE chain,
+    shared by the pagerank oracle and every oracle composing on it."""
     it_prev = "r0"
     iters = []
     for k in range(1, PR_ITERS + 1):
@@ -274,8 +276,7 @@ def _pagerank_oracle() -> str:
 )""")
         it_prev = f"r{k}"
     its = ",\n".join(iters)
-    return f"""
-WITH links AS ({_links_sql()}),
+    return f"""links AS ({_links_sql()}),
 edges AS (
   SELECT DISTINCT src_host, dst_host FROM links
   WHERE src_host != dst_host
@@ -291,16 +292,58 @@ r0 AS (
            AS rank_ppb
   FROM hosts
 ),
-{its}
-SELECT host, rank_ppb FROM r{PR_ITERS} ORDER BY host
+{its}"""
+
+
+ORACLE_HOST_PAGERANK = (
+    f"WITH {_pagerank_cte()}\n"
+    f"SELECT host, rank_ppb FROM r{PR_ITERS} ORDER BY host")
+
+
+def q_host_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-normalized sampling weights: PageRank mass divided by
+    crawl frequency. A raw web crawl over-represents heavily-crawled
+    hosts; weighting each document by host_rank / host_doc_count makes
+    the SAMPLED corpus's host-level mass follow link authority instead
+    of crawl volume (the CC-style ranked-host reweighting move, kept
+    in exact ppb integers).
+
+    Composition shape: the rank side is |hosts| rows (the checkpointed
+    PageRank output — broadcast against the per-host counts); the
+    count agg is the only corpus-volume shuffle. Per-document
+    application at scale is a broadcast join of this table onto the
+    corpus scan."""
+    rank = q_host_pagerank(spark, sf_dir)
+    counts = (_t(spark, sf_dir, "documents")
+              .select(F.expr(_src_host("cast({} as string)"))
+                       .alias("host"))
+              .groupBy("host")
+              .agg(F.count("*").alias("n_docs")))
+    return (rank.join(counts, "host")
+            .select("host", "n_docs", "rank_ppb",
+                    F.expr("rank_ppb * 1000000 div n_docs")
+                     .alias("per_doc_weight_ppb"))
+            .orderBy("host"))
+
+
+ORACLE_HOST_SAMPLE_WEIGHTS = f"""
+WITH {_pagerank_cte()},
+src_counts AS (
+  SELECT {_src_host("CAST({} AS VARCHAR)")} AS host,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT r.host, c.n_docs, r.rank_ppb,
+       (r.rank_ppb * 1000000) // c.n_docs AS per_doc_weight_ppb
+FROM r{PR_ITERS} r JOIN src_counts c ON c.host = r.host
+ORDER BY r.host
 """
-
-
-ORACLE_HOST_PAGERANK = _pagerank_oracle()
 
 
 QUERIES = {
     "outlinks": (q_outlinks, ORACLE_OUTLINKS),
     "anchor_texts": (q_anchor_texts, ORACLE_ANCHOR_TEXTS),
     "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),
+    "host_sample_weights": (q_host_sample_weights,
+                            ORACLE_HOST_SAMPLE_WEIGHTS),
 }

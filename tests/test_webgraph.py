@@ -126,6 +126,23 @@ class TestHostPagerank:
                  .agg(F.sum("rank_ppb")).collect()[0][0])
         assert 0 < total <= webgraph.PR_UNIT
 
+    def test_sample_weights_compose_rank_and_counts(self, spark,
+                                                    tmp_path):
+        n_docs, n = 60, webgraph.N_SITES
+        sf = _write_docs(spark, tmp_path, n_docs)
+        rank = _python_pagerank(_expected_edges(n_docs))
+        per_host = {}
+        for d in range(n_docs):
+            h = f"site-{d % n}.example.com"
+            per_host[h] = per_host.get(h, 0) + 1
+        expected = {h: (per_host[h], rank[h],
+                        rank[h] * 1000000 // per_host[h])
+                    for h in rank}
+        got = {r.host: (r.n_docs, r.rank_ppb, r.per_doc_weight_ppb)
+               for r in webgraph.q_host_sample_weights(spark,
+                                                       sf).collect()}
+        assert got == expected
+
     def test_rank_joins_are_broadcast(self, spark, tmp_path):
         # the per-iteration rank ⋈ edges must broadcast the rank side —
         # a sort-merge join here would shuffle the edge set K times.

@@ -94,12 +94,25 @@ def main() -> None:
          webcur.q_url_canonicalize(spark, SF_DIR)),
     ])
 
-    from pdf_extractor_spark.queries import webgraph
-    sections.append(
-        ("Host PageRank (3 integer iterations as ONE lazy plan: each "
-         "rank⋈edges broadcasts the |hosts|-row rank side, one sum "
-         "keyed dst_host per iteration; no driver action in the loop)",
-         webgraph.q_host_pagerank(spark, SF_DIR)))
+    from pdf_extractor_spark.queries import search, webgraph
+    edges = (webgraph._edges(spark, SF_DIR)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host"))
+    deg = edges.groupBy("src_host").agg(F.count("*").alias("outdeg"))
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    rank0 = hosts.select("host", F.lit(1).cast("long").alias("rank_ppb"))
+    sections.extend([
+        ("Host PageRank, one iteration (the full query localCheckpoints "
+         "each round; rank⋈edges broadcasts the |hosts|-row rank side, "
+         "one sum keyed dst_host)",
+         webgraph._pr_iterate(edges, deg, hosts, rank0, 1)),
+        ("BM25 top-k (zero-explode wide aggregates: per-term tf as "
+         "size(filter(w,...)) in ONE scan; 1-row stats broadcast; "
+         "TakeOrderedAndProject top-k — no global window)",
+         search.q_bm25_topk(spark, SF_DIR)),
+    ])
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "PLANS.md")

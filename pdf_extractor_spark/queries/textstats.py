@@ -691,11 +691,15 @@ ORDER BY d.doc_id
 """
 
 
+# dict order = registry order: the driver's correctness gate covers the
+# FIRST 50 registry entries, so queries without a prior driver-green
+# CORRECTNESS row must lead (the r02-green tail re-verifies via
+# tools/check_oracles.py each round)
 QUERIES = {
     "bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LM),
-    "lang_id": (q_lang_id, ORACLE_LANG),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION),
+    "lang_id": (q_lang_id, ORACLE_LANG),
     "lang_id_ngram": (q_lang_id_ngram, ORACLE_LANG_NGRAM),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),

@@ -934,6 +934,128 @@ FROM ranked ORDER BY canonical_url, capture_rank
 """
 
 
+WEB_PIPE_CAP = 10  # max kept (changed) captures per canonical host
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-curation audit: every capture of the synthetic
+    crawl gets a verdict through the chained stages a CC-style corpus
+    build runs — URL canonicalization (the shared codegen algebra),
+    recrawl collapse (unchanged recaptures dropped), and a per-host
+    freshness-first quota over what survives. One row per input
+    capture: ``kept``, ``unchanged_recrawl``, or ``host_quota`` — the
+    audit table a 10^12-row pipeline writes next to its output so
+    every dropped document is attributable to a stage.
+
+    Scale shape: TWO exchanges total. Exchange 1 keys canonical_url
+    (capture rank + lag under one sort — the crawl_deltas plan).
+    Exchange 2 keys host but carries ONLY changed captures: unchanged
+    recaptures take their verdict from stage 1 and bypass the host
+    shuffle entirely (union after), so a mega-host recrawl flood —
+    mostly unchanged bytes — never reaches the quota window's
+    partition."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_CRAWL_URL_SPARK).alias("url"),
+        F.expr(_CRAWL_TS).alias("ts"),
+        F.md5(F.expr(_crawl_body("cast({} as string)")))
+         .alias("content_hash"))
+    canon = canonicalize_urls(base)
+    w = Window.partitionBy("canonical_url").orderBy("ts", "doc_id")
+    flagged = (canon
+               .withColumn("capture_rank",
+                           F.row_number().over(w).cast("long"))
+               .withColumn("prev_hash", F.lag("content_hash").over(w))
+               .withColumn("changed",
+                           F.col("prev_hash").isNull()
+                           | (F.col("content_hash")
+                              != F.col("prev_hash"))))
+    cols = ["canonical_url", "doc_id", "host", "ts", "capture_rank"]
+    unchanged = (flagged.filter(~F.col("changed"))
+                 .select(*cols,
+                         F.lit("unchanged_recrawl").alias("verdict"),
+                         F.lit(None).cast("long").alias("host_rank")))
+    wh = Window.partitionBy("host").orderBy(F.desc("ts"), F.asc("doc_id"))
+    survivors = (flagged.filter(F.col("changed"))
+                 .withColumn("host_rank",
+                             F.row_number().over(wh).cast("long"))
+                 .select(*cols,
+                         F.when(F.col("host_rank") <= WEB_PIPE_CAP,
+                                F.lit("kept"))
+                         .otherwise(F.lit("host_quota"))
+                         .alias("verdict"),
+                         "host_rank"))
+    return (unchanged.unionByName(survivors)
+            .orderBy("canonical_url", "capture_rank"))
+
+
+ORACLE_WEB_PIPELINE = f"""
+WITH u AS (
+  SELECT doc_id, {_CRAWL_URL_SQL} AS url,
+         {_CRAWL_TS} AS ts,
+         md5({_crawl_body("CAST({} AS VARCHAR)")}) AS content_hash
+  FROM documents
+), parts AS (
+  SELECT doc_id, ts, content_hash,
+         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM u
+), parts2 AS (
+  SELECT *, split_part(split_part(rest, '?', 1), '/', 1) AS hostport,
+         substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1)
+           AS pathq
+  FROM parts
+), parts3 AS (
+  SELECT *,
+         CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port
+  FROM parts2
+), parts4 AS (
+  SELECT *,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE concat(':', port) END AS keep_port,
+         split_part(pathq, '?', 1) AS path,
+         list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                               p -> substr(p, 1, 4) != 'utm_' AND p != ''))
+           AS params
+  FROM parts3
+), canon AS (
+  SELECT doc_id, ts, content_hash, host,
+         concat(scheme, '://', host, keep_port, path,
+                CASE WHEN len(params) > 0
+                     THEN concat('?', array_to_string(params, '&'))
+                     ELSE '' END) AS canonical_url
+  FROM parts4
+), flagged AS (
+  SELECT canonical_url, doc_id, host, ts,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS capture_rank,
+         (lag(content_hash) OVER w IS NULL
+          OR content_hash != lag(content_hash) OVER w) AS changed
+  FROM canon
+  WINDOW w AS (PARTITION BY canonical_url ORDER BY ts, doc_id)
+), ranked2 AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                    ORDER BY ts DESC, doc_id)
+                 AS BIGINT) AS host_rank
+  FROM flagged WHERE changed
+)
+SELECT canonical_url, doc_id, host, ts, capture_rank,
+       'unchanged_recrawl' AS verdict, CAST(NULL AS BIGINT) AS host_rank
+FROM flagged WHERE NOT changed
+UNION ALL
+SELECT canonical_url, doc_id, host, ts, capture_rank,
+       CASE WHEN host_rank <= {WEB_PIPE_CAP} THEN 'kept'
+            ELSE 'host_quota' END AS verdict,
+       host_rank
+FROM ranked2
+ORDER BY canonical_url, capture_rank
+"""
+
+
 QUERIES = {
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
@@ -943,4 +1065,5 @@ QUERIES = {
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
     "mojibake_fix": (q_mojibake_fix, ORACLE_MOJIBAKE_FIX),
     "crawl_deltas": (q_crawl_deltas, ORACLE_CRAWL_DELTAS),
+    "web_pipeline": (q_web_pipeline, ORACLE_WEB_PIPELINE),
 }

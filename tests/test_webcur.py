@@ -386,3 +386,39 @@ class TestCrawlDeltas:
                 assert cur.changed == \
                     (cur.content_hash != prev.content_hash)
 
+
+
+class TestWebPipeline:
+    def test_every_capture_gets_exactly_one_verdict(self, spark):
+        sf = "/root/testdata/sf0.001"
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        rows = webcur.q_web_pipeline(spark, sf).collect()
+        assert len(rows) == n_docs
+        assert len({r.doc_id for r in rows}) == n_docs
+
+    def test_verdict_semantics(self, spark):
+        sf = "/root/testdata/sf0.001"
+        rows = webcur.q_web_pipeline(spark, sf).collect()
+        by_verdict = {}
+        for r in rows:
+            by_verdict.setdefault(r.verdict, []).append(r)
+        assert set(by_verdict) <= {"kept", "unchanged_recrawl",
+                                   "host_quota"}
+        # unchanged recaptures never enter the quota ranking
+        assert all(r.host_rank is None
+                   for r in by_verdict["unchanged_recrawl"])
+        # the quota binds per host: at most CAP kept rows per host,
+        # and every kept row outranks every quota-dropped row there
+        kept, dropped = {}, {}
+        for r in by_verdict.get("kept", []):
+            kept.setdefault(r.host, []).append(r.host_rank)
+        for r in by_verdict.get("host_quota", []):
+            dropped.setdefault(r.host, []).append(r.host_rank)
+        for host, ranks in kept.items():
+            assert len(ranks) <= webcur.WEB_PIPE_CAP
+            assert max(ranks) <= webcur.WEB_PIPE_CAP
+            for dr in dropped.get(host, []):
+                assert dr > max(ranks)
+        # crawl synthesis guarantees both collapse stages fire
+        assert by_verdict["unchanged_recrawl"]
+        assert by_verdict.get("host_quota")

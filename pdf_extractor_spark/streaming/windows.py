@@ -77,6 +77,33 @@ def streaming_dedup_exact(spark: SparkSession, source_dir: str,
             .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
+def streaming_crawl_dedup(spark: SparkSession, source_dir: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming stage-1 of ``q_web_pipeline``: canonicalize each
+    capture's URL in-flight (the webcur codegen algebra is pure
+    projections, so it runs unchanged on a stream) and suppress
+    recaptures whose (canonical_url, content) was already seen inside
+    the watermark horizon — the ``unchanged_recrawl`` drop of the
+    batch audit as a live filter. CHANGED content on the same
+    canonical URL passes (the key includes the content hash), so the
+    stream keeps exactly the captures the batch pipeline keeps at
+    stage 1.
+
+    State: two 16-byte md5s per entry (url hash + content hash), never
+    the URL or body text, evicted at the watermark — bounded on an
+    endless crawl feed."""
+    from ..queries.webcur import canonicalize_urls
+
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (canonicalize_urls(stream)
+            .withWatermark("warc_ts", watermark)
+            .withColumn("url_hash", F.md5("canonical_url"))
+            .withColumn("content_hash", F.md5("text"))
+            .dropDuplicatesWithinWatermark(["url_hash", "content_hash"]))
+
+
 def streaming_extract(spark: SparkSession, source_dir: str,
                       checkpoint_dir: str, out_dir: str,
                       levels=("raw",),

@@ -209,3 +209,43 @@ def test_streaming_domain_cap_first_k_admitted_across_batches(spark,
     assert by_url["http://small.org/a"].kept
     assert by_url["http://small.org/b"].kept
     assert by_url["http://small.org/b"].host_seq == 2
+
+
+def test_streaming_crawl_dedup_collapses_unchanged_recaptures(
+        spark, tmp_path):
+    """The live recrawl filter keeps first sightings and changed
+    bodies, drops unchanged recaptures — and dedups on the CANONICAL
+    url, so www./utm noise cannot split a page's identity."""
+    import time
+
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_crawl_dedup
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+    # the three capture URLs canonicalize to the SAME page
+    b1 = [("https://www.x.com/p?utm_source=a", t0, None, "body A", "en"),
+          ("https://other.com/q", t0 + MIN, None, "other", "en")]
+    # unchanged recapture (dropped) + changed body (kept)
+    b2 = [("https://x.com/p", t0 + 2 * MIN, None, "body A", "en"),
+          ("HTTPS://x.com:443/p", t0 + 4 * MIN, None, "body B", "en")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = f"stream_crawl_{os.getpid()}"
+    q = (streaming_crawl_dedup(spark, src, watermark="30 minutes")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+
+    rows = spark.sql(
+        f"SELECT canonical_url, text FROM {sink}").collect()
+    got = sorted((r.canonical_url, r.text) for r in rows)
+    assert got == [("https://other.com/q", "other"),
+                   ("https://x.com/p", "body A"),
+                   ("https://x.com/p", "body B")]

@@ -20,18 +20,41 @@ from . import (curation, dedup, extraction, mdvalidate, relational,
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Module order IS the driver-visible order: the correctness driver checks the
-# first 50 registry entries, so the newest / least-historied modules go first
-# and the long-green relational demos absorb the >50 overflow (every relational
-# query has a hash-green row in CORRECTNESS_r01/r02; the tail is additionally
-# re-verified each round via ``tools/check_oracles.py``).
+# Registry order IS the driver-visible order: the correctness driver checks
+# the FIRST 50 registry entries only. Queries with a hash-green row in the
+# r02 driver record (the frozenset below — copied from CORRECTNESS_r02.json)
+# can safely absorb the >50 overflow; every query WITHOUT such a row is
+# placed first so it gets a driver row this round. The overflow tail is
+# additionally re-verified each round via ``tools/check_oracles.py``.
+_R02_GREEN = frozenset({
+    "pricing_summary", "orders_with_returns", "orders_fully_discounted",
+    "events_rolling_hour", "market_revenue", "order_priority",
+    "top_orders_per_customer", "events_hourly", "events_sessionize",
+    "topk_events_per_type", "doc_word_stats", "pattern_profile",
+    "word_semi_join", "word_anti_join", "fuzzy_prefix_candidates",
+    "systematic_sample", "dict_union", "repeated_first_words",
+    "events_props_json", "revenue_rollup", "value_percentiles",
+    "status_priority_cube", "source_doc_stats", "text_metrics",
+    "sentence_merge_flags", "dedup_exact", "dedup_ngram_jaccard",
+    "minhash_signatures", "dedup_minhash_lsh", "dedup_clusters",
+    "simhash_signatures", "dedup_simhash", "simhash_bands",
+    "dedup_embedding_cosine", "ann_bruteforce_topk", "lsh_buckets",
+    "ann_lsh_topk", "label_centroid_sim", "ann_ivf_topk", "lang_id",
+    "lang_id_ngram", "hash_split", "doc_winnow", "quality_score",
+    "token_count", "doc_fingerprint", "events_asof_join",
+    "events_range_join", "salted_type_counts",
+})
+_MODULES = (extraction, mdvalidate, webcur, webgraph, search, curation,
+            dedup, simsearch, textstats, temporal, relational)
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
-for mod in (extraction, mdvalidate, webcur, webgraph, search, curation,
-            dedup, simsearch, textstats, temporal, relational):
-    overlap = set(REGISTRY) & set(mod.QUERIES)
-    if overlap:
-        raise ValueError(f"duplicate query names: {sorted(overlap)}")
-    REGISTRY.update(mod.QUERIES)
+for _unhistoried_pass in (True, False):
+    for mod in _MODULES:
+        for _name, _entry in mod.QUERIES.items():
+            if (_name not in _R02_GREEN) != _unhistoried_pass:
+                continue
+            if _name in REGISTRY:
+                raise ValueError(f"duplicate query name: {_name}")
+            REGISTRY[_name] = _entry
 
 
 def queries() -> Dict[str, QueryFn]:

@@ -255,6 +255,26 @@ ORDER BY src_host, dst_host
 """
 
 
+def _graph_cte() -> str:
+    """links → edges → hosts → deg: the host-graph CTEs every
+    link-analysis oracle (PageRank, HITS, weights) builds on.
+    MATERIALIZED: iterative oracles reference these through every
+    round's chain, and DuckDB's default CTE inlining re-evaluates the
+    regexp-heavy links scan once per reference — exponentially across
+    mutually recursive rounds (the measured 150s HITS oracle)."""
+    return f"""links AS MATERIALIZED ({_links_sql()}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM links
+  WHERE src_host != dst_host
+),
+hosts AS MATERIALIZED (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT src_host, COUNT(*) AS outdeg FROM edges GROUP BY 1)"""
+
+
 def _pagerank_cte() -> str:
     """The links → edges → hosts → deg → r0..r{PR_ITERS} CTE chain,
     shared by the pagerank oracle and every oracle composing on it."""
@@ -276,16 +296,7 @@ def _pagerank_cte() -> str:
 )""")
         it_prev = f"r{k}"
     its = ",\n".join(iters)
-    return f"""links AS ({_links_sql()}),
-edges AS (
-  SELECT DISTINCT src_host, dst_host FROM links
-  WHERE src_host != dst_host
-),
-hosts AS (
-  SELECT src_host AS host FROM edges
-  UNION SELECT dst_host FROM edges
-),
-deg AS (SELECT src_host, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    return f"""{_graph_cte()},
 r0 AS (
   SELECT host,
          CAST((SELECT 1000000000 // COUNT(*) FROM hosts) AS BIGINT)
@@ -340,10 +351,124 @@ ORDER BY r.host
 """
 
 
+HITS_ITERS = 3
+HITS_UNIT = 1_000_000  # micro-units: raw sums stay far inside int64
+# (max raw ≤ max_degree · UNIT; raw · UNIT must fit int64, so 1e6
+# units tolerate degrees up to ~9e6 — beyond that, promote the two
+# normalization columns to decimal(38,0), which both engines carry
+# exactly)
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host graph — the link-analysis
+    complement of PageRank (a page-catalog host is a hub; a
+    heavily-cited host is an authority; both are corpus-quality
+    signals). Mutually recursive integer iteration: auth'(v) =
+    Σ_{u→v} hub(u), hub'(u) = Σ_{u→v} auth'(v), each vector rescaled
+    to Σ = UNIT in exact integer arithmetic (x·UNIT div Σraw) so both
+    engines agree bit-for-bit.
+
+    Plan per round: two broadcast joins (the |hosts|-row vector side),
+    two keyed sums, and two 1-row total aggregates broadcast back for
+    the rescale; vectors localCheckpointed per round like the
+    PageRank loop. Hosts with no in-edges hold auth 0, no out-edges
+    hub 0 (left joins, coalesce)."""
+    edges = (_edges(spark, sf_dir)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host")
+             .localCheckpoint())
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct().localCheckpoint())
+    n = hosts.count()
+    hub = hosts.select(
+        "host", F.lit(HITS_UNIT // n).cast("long").alias("hub"))
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("tot"))
+        return (df.crossJoin(F.broadcast(tot))
+                .select("host", F.expr(f"{col} * {HITS_UNIT} div tot")
+                        .cast("long").alias(col)))
+
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (edges.join(F.broadcast(hub),
+                            edges.src_host == hub.host)
+                 .groupBy(F.col("dst_host").alias("host"))
+                 .agg(F.sum("hub").alias("auth_raw")))
+        auth = _rescale(
+            hosts.join(a_raw, "host", "left")
+            .select("host", F.coalesce("auth_raw", F.lit(0))
+                    .cast("long").alias("auth")),
+            "auth").localCheckpoint()
+        h_raw = (edges.join(F.broadcast(auth),
+                            edges.dst_host == auth.host)
+                 .groupBy(F.col("src_host").alias("host"))
+                 .agg(F.sum("auth").alias("hub_raw")))
+        hub = _rescale(
+            hosts.join(h_raw, "host", "left")
+            .select("host", F.coalesce("hub_raw", F.lit(0))
+                    .cast("long").alias("hub")),
+            "hub").localCheckpoint()
+    return (hosts.join(auth, "host").join(hub, "host")
+            .select("host", F.col("auth").alias("auth_u"),
+                    F.col("hub").alias("hub_u"))
+            .orderBy("host"))
+
+
+def _hits_oracle() -> str:
+    prev_hub = "h0"
+    rounds = []
+    for k in range(1, HITS_ITERS + 1):
+        rounds.append(f"""a{k}_raw AS MATERIALIZED (
+  SELECT h.host, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(p.v) AS v
+    FROM edges e JOIN {prev_hub} p ON p.host = e.src_host
+    GROUP BY e.dst_host
+  ) s ON s.host = h.host
+), a{k} AS MATERIALIZED (
+  SELECT host, CAST((v * {HITS_UNIT})
+                    // (SELECT SUM(v) FROM a{k}_raw) AS BIGINT) AS v
+  FROM a{k}_raw
+), h{k}_raw AS MATERIALIZED (
+  SELECT h.host, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+  FROM hosts h LEFT JOIN (
+    SELECT e.src_host AS host, SUM(a.v) AS v
+    FROM edges e JOIN a{k} a ON a.host = e.dst_host
+    GROUP BY e.src_host
+  ) s ON s.host = h.host
+), h{k} AS MATERIALIZED (
+  SELECT host, CAST((v * {HITS_UNIT})
+                    // (SELECT SUM(v) FROM h{k}_raw) AS BIGINT) AS v
+  FROM h{k}_raw
+)""")
+        prev_hub = f"h{k}"
+    its = ",\n".join(rounds)
+    return f"""
+WITH {_graph_cte()},
+h0 AS (
+  SELECT host,
+         CAST((SELECT {HITS_UNIT} // COUNT(*) FROM hosts) AS BIGINT) AS v
+  FROM hosts
+),
+{its}
+SELECT h.host, a.v AS auth_u, b.v AS hub_u
+FROM hosts h
+JOIN a{HITS_ITERS} a ON a.host = h.host
+JOIN h{HITS_ITERS} b ON b.host = h.host
+ORDER BY h.host
+"""
+
+
+ORACLE_HOST_HITS = _hits_oracle()
+
+
 QUERIES = {
     "outlinks": (q_outlinks, ORACLE_OUTLINKS),
     "anchor_texts": (q_anchor_texts, ORACLE_ANCHOR_TEXTS),
     "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),
     "host_sample_weights": (q_host_sample_weights,
                             ORACLE_HOST_SAMPLE_WEIGHTS),
+    "host_hits": (q_host_hits, ORACLE_HOST_HITS),
 }

@@ -143,6 +143,30 @@ class TestHostPagerank:
                                                        sf).collect()}
         assert got == expected
 
+    def test_hits_matches_integer_reference(self, spark, tmp_path):
+        n_docs = 60
+        sf = _write_docs(spark, tmp_path, n_docs)
+        adj = sorted({(s, d) for (s, d) in _expected_edges(n_docs)
+                      if s != d})
+        hosts = sorted({h for e in adj for h in e})
+        n, U = len(hosts), webgraph.HITS_UNIT
+        hub = {h: U // n for h in hosts}
+        auth = {}
+        for _ in range(webgraph.HITS_ITERS):
+            auth = {h: 0 for h in hosts}
+            for s, d in adj:
+                auth[d] += hub[s]
+            tot = sum(auth.values())
+            auth = {h: v * U // tot for h, v in auth.items()}
+            hub = {h: 0 for h in hosts}
+            for s, d in adj:
+                hub[s] += auth[d]
+            tot = sum(hub.values())
+            hub = {h: v * U // tot for h, v in hub.items()}
+        got = {r.host: (r.auth_u, r.hub_u)
+               for r in webgraph.q_host_hits(spark, sf).collect()}
+        assert got == {h: (auth[h], hub[h]) for h in hosts}
+
     def test_rank_joins_are_broadcast(self, spark, tmp_path):
         # the per-iteration rank ⋈ edges must broadcast the rank side —
         # a sort-merge join here would shuffle the edge set K times.

@@ -83,6 +83,11 @@ def run_level(cpus: int, sf_dir: str, only=None, sites=None,
          lambda: webgraph.q_host_pagerank(spark, sf_dir).agg(
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("host", "rank_ppb")).alias("ck"))),
+        ("host_hits",
+         lambda: webgraph.q_host_hits(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("host", "auth_u",
+                                  "hub_u")).alias("ck"))),
         ("bm25_topk",
          lambda: search.q_bm25_topk(spark, sf_dir).agg(
              F.count("*").alias("n"),

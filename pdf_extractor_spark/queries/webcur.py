@@ -934,6 +934,37 @@ FROM ranked ORDER BY canonical_url, capture_rank
 """
 
 
+BLOCKED_HOSTS = ("src3.example.com", "src13.example.com",
+                 "src23.example.com")
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filter — the UT1-style host-list drop every web corpus
+    runs before anything else: canonical host NOT IN the blocklist.
+
+    The list rides as a broadcast LEFT ANTI join (a real blocklist is
+    a few million hosts — megabytes, broadcast to every executor so
+    the filter runs scan-side with zero shuffle of the corpus; the
+    demo list is a 3-row literal, same plan). Keyed on the CANONICAL
+    host so www./port/case noise cannot dodge the list."""
+    docs = _t(spark, sf_dir, "documents")
+    url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    block = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS],
+                                  "host string")
+    return (canonicalize_urls(url)
+            .join(F.broadcast(block), "host", "left_anti")
+            .select("doc_id", "canonical_url", "host")
+            .orderBy("doc_id"))
+
+
+ORACLE_URL_BLOCKLIST = f"""
+SELECT doc_id, canonical_url, host
+FROM ({ORACLE_URL_CANONICALIZE}) t
+WHERE host NOT IN ({", ".join(repr(h) for h in BLOCKED_HOSTS)})
+ORDER BY doc_id
+"""
+
+
 WEB_PIPE_CAP = 10  # max kept (changed) captures per canonical host
 
 
@@ -1066,4 +1097,5 @@ QUERIES = {
     "mojibake_fix": (q_mojibake_fix, ORACLE_MOJIBAKE_FIX),
     "crawl_deltas": (q_crawl_deltas, ORACLE_CRAWL_DELTAS),
     "web_pipeline": (q_web_pipeline, ORACLE_WEB_PIPELINE),
+    "url_blocklist": (q_url_blocklist, ORACLE_URL_BLOCKLIST),
 }

@@ -422,3 +422,25 @@ class TestWebPipeline:
         # crawl synthesis guarantees both collapse stages fire
         assert by_verdict["unchanged_recrawl"]
         assert by_verdict.get("host_quota")
+
+
+class TestUrlBlocklist:
+    def test_blocked_hosts_dropped_others_kept(self, spark):
+        sf = "/root/testdata/sf0.001"
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        rows = webcur.q_url_blocklist(spark, sf).collect()
+        hosts = {r.host for r in rows}
+        assert not (hosts & set(webcur.BLOCKED_HOSTS))
+        # exactly the docs whose canonical host is listed disappear
+        # (sources repeat mod 20, so several docs share each host)
+        all_rows = webcur.q_url_canonicalize(spark, sf).collect()
+        blocked = {r.doc_id for r in all_rows
+                   if r.host in webcur.BLOCKED_HOSTS}
+        assert blocked, "fixture must exercise the blocklist"
+        assert len(rows) == n_docs - len(blocked)
+        assert {r.doc_id for r in rows}.isdisjoint(blocked)
+
+    def test_plan_is_broadcast_anti_join(self, spark):
+        plan = (webcur.q_url_blocklist(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

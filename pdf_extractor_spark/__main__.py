@@ -18,6 +18,9 @@ of one PDF at a time, each command runs over a pages/documents table.
       [--format yaml|json] [--no-toc]   (reference: markdown_convert.py:
       15-119 recursive dir mode — scan envelope files, emit one .md per
       envelope; loader markdown_converter.py:525-540)
+  python -m pdf_extractor_spark curate   --input PATH --output DIR
+      [--host-cap K]   (web curation: canonical-URL recrawl collapse +
+      per-host quota; writes DIR/kept + the per-capture DIR/audit)
   python -m pdf_extractor_spark synth    --output PATH --docs N
 
 `--input` accepts any parquet with the pages schema
@@ -250,6 +253,29 @@ def cmd_convert_md(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .queries.webcur import curate_pages
+
+    spark = _spark(args.cpus)
+    pages = spark.read.parquet(args.input)
+    audit = curate_pages(pages, cap=args.host_cap)
+    audit.write.mode("overwrite").parquet(f"{args.output}/audit")
+    audit_back = spark.read.parquet(f"{args.output}/audit")
+    kept_urls = audit_back.filter(F.col("verdict") == "kept") \
+        .select("url")
+    (pages.join(kept_urls, "url", "left_semi")
+     .write.mode("overwrite").parquet(f"{args.output}/kept"))
+    counts = {r["verdict"]: r["n"] for r in
+              audit_back.groupBy("verdict")
+              .agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    print(f"curated {total} captures -> {args.output}: " +
+          ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.pages import synth_pages_df
 
@@ -318,6 +344,16 @@ def main(argv=None) -> int:
     p.add_argument("--no-toc", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_convert_md)
+
+    p = sub.add_parser("curate",
+                       help="pages table -> kept corpus + per-capture "
+                            "audit (canonicalize, recrawl collapse, "
+                            "host quota)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--host-cap", type=int, default=10)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("synth", help="write a deterministic pages corpus")
     p.add_argument("--output", required=True)

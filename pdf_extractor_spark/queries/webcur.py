@@ -1021,6 +1021,47 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("canonical_url", "capture_rank"))
 
 
+def curate_pages(pages: DataFrame,
+                 cap: int = WEB_PIPE_CAP) -> DataFrame:
+    """``q_web_pipeline``'s chain over a REAL pages table (url,
+    warc_ts, text, …) — the form the CLI's ``curate`` subcommand runs:
+    canonicalize → drop unchanged recaptures → freshness-first host
+    quota. Returns the per-capture audit (url, canonical_url, host,
+    warc_ts, capture_rank, verdict, host_rank); join verdict='kept'
+    back onto the source table for the survivor corpus. Same two-
+    exchange shape as the registry query (see its docstring)."""
+    base = pages.select("url", "warc_ts",
+                        F.md5(F.coalesce(F.col("text"), F.lit("")))
+                         .alias("content_hash"))
+    canon = canonicalize_urls(base)
+    w = Window.partitionBy("canonical_url").orderBy("warc_ts", "url")
+    flagged = (canon
+               .withColumn("capture_rank",
+                           F.row_number().over(w).cast("long"))
+               .withColumn("prev_hash", F.lag("content_hash").over(w))
+               .withColumn("changed",
+                           F.col("prev_hash").isNull()
+                           | (F.col("content_hash")
+                              != F.col("prev_hash"))))
+    cols = ["url", "canonical_url", "host", "warc_ts", "capture_rank"]
+    unchanged = (flagged.filter(~F.col("changed"))
+                 .select(*cols,
+                         F.lit("unchanged_recrawl").alias("verdict"),
+                         F.lit(None).cast("long").alias("host_rank")))
+    wh = Window.partitionBy("host").orderBy(F.desc("warc_ts"),
+                                            F.asc("url"))
+    survivors = (flagged.filter(F.col("changed"))
+                 .withColumn("host_rank",
+                             F.row_number().over(wh).cast("long"))
+                 .select(*cols,
+                         F.when(F.col("host_rank") <= cap,
+                                F.lit("kept"))
+                         .otherwise(F.lit("host_quota"))
+                         .alias("verdict"),
+                         "host_rank"))
+    return unchanged.unionByName(survivors)
+
+
 ORACLE_WEB_PIPELINE = f"""
 WITH u AS (
   SELECT doc_id, {_CRAWL_URL_SQL} AS url,

@@ -225,3 +225,27 @@ def test_extract_resumable_cli_resumes(spark, tmp_path):
     assert cli_main(argv) == 0  # resume: nothing left to do
     assert lin.read_output(spark, out).count() == 24
     assert lin.read_output(spark, out).select("url").distinct().count() == 24
+
+
+@pytest.mark.spark
+def test_curate_cli_writes_kept_and_audit(spark, tmp_path):
+    """CLI wiring over curate_pages: audit covers every capture, the
+    kept table is exactly the verdict='kept' subset of the source."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    synth_pages_df(spark, 60, partitions=2).write.parquet(src)
+    argv = ["curate", "--input", src, "--output", out, "--host-cap", "4"]
+    assert cli_main(argv) == 0
+    audit = spark.read.parquet(f"{out}/audit")
+    kept = spark.read.parquet(f"{out}/kept")
+    assert audit.count() == 60
+    assert audit.select("url").distinct().count() == 60
+    kept_urls = {r.url for r in
+                 audit.filter("verdict = 'kept'").collect()}
+    assert {r.url for r in kept.select("url").collect()} == kept_urls
+    # the cap binds per host on this skewed corpus
+    per_host = (audit.filter("verdict = 'kept'")
+                .groupBy("host").count().collect())
+    assert per_host and all(r["count"] <= 4 for r in per_host)

@@ -789,6 +789,75 @@ FROM documents ORDER BY doc_id
 ORACLE_MOJIBAKE_FIX = _moji_oracle()
 
 
+# --- Ligature expansion (opt-in typography normalization) --------------------
+
+# PDF text layers carry typographic ligature codepoints (U+FB00-FB06);
+# expanding them is the standard corpus-normalization move (NFKC's
+# ligature subset). The DEFAULT extraction chain deliberately does NOT
+# expand them — the reference does no unicode normalization and the
+# golden contract is byte-identity — so this is the opt-in pass a
+# training-corpus build layers on top (same policy as the P10/P11
+# dead-code operators: documented intent, off the golden path).
+_LIGATURE_PAIRS = [
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬀ", "ff"), ("ﬁ", "fi"),
+    ("ﬂ", "fl"), ("ﬅ", "st"), ("ﬆ", "st"),
+]
+
+_LIG_SUFFIXES = [
+    "",
+    " The eﬀort to conﬁgure an eﬃcient workﬂow",
+    " A diﬃcult aﬄuent ﬁeld",
+    " ﬅop the ﬆream ﬂag",
+]
+
+
+def _lig_case(quote: str) -> str:
+    branches = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN {quote}{s}{quote}"
+        for i, s in enumerate(_LIG_SUFFIXES) if i > 0)
+    return f"concat(text, CASE {branches} ELSE '' END)"
+
+
+def q_ligature_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ligature expansion as pure JVM string algebra: each U+FB0x
+    codepoint is a fixed LITERAL replace (single-codepoint needles —
+    order-independent, no regex, no UDF, one codegen projection riding
+    the scan). ``expanded_chars`` is the growth in codepoint count
+    (ﬁ→fi adds 1, ﬃ→ffi adds 2), derived from the length delta. No
+    precheck gate here: unlike the mojibake chain there is no shared
+    signature character, and seven 1-codepoint contains() scans cost
+    the same as the seven replaces they would guard."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id", F.expr(_lig_case("'")).alias("dirty"))
+    chain = F.col("dirty")
+    for lig, exp in _LIGATURE_PAIRS:
+        chain = F.replace(chain, F.lit(lig), F.lit(exp))
+    return (dirty
+            .withColumn("fixed_text", chain)
+            .select("doc_id",
+                    (F.length("fixed_text") - F.length("dirty"))
+                    .cast("long").alias("expanded_chars"),
+                    "fixed_text")
+            .orderBy("doc_id"))
+
+
+def _lig_oracle() -> str:
+    expr = _lig_case("'")
+    for lig, exp in _LIGATURE_PAIRS:
+        expr = f"replace({expr}, '{lig}', '{exp}')"
+    dirty = _lig_case("'")
+    return f"""
+SELECT doc_id,
+       CAST(length({expr}) - length({dirty}) AS BIGINT) AS expanded_chars,
+       {expr} AS fixed_text
+FROM documents ORDER BY doc_id
+"""
+
+
+ORACLE_LIGATURE_FIX = _lig_oracle()
+
+
 # --- Recrawl delta / CDX-style capture dedup ---------------------------------
 
 # Deterministic multi-capture synthesis: every page is crawled several
@@ -1139,4 +1208,5 @@ QUERIES = {
     "crawl_deltas": (q_crawl_deltas, ORACLE_CRAWL_DELTAS),
     "web_pipeline": (q_web_pipeline, ORACLE_WEB_PIPELINE),
     "url_blocklist": (q_url_blocklist, ORACLE_URL_BLOCKLIST),
+    "ligature_fix": (q_ligature_fix, ORACLE_LIGATURE_FIX),
 }

@@ -444,3 +444,26 @@ class TestUrlBlocklist:
         plan = (webcur.q_url_blocklist(spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestLigatureFix:
+    def test_expansion_and_count(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, ["eﬀort ﬁeld", "plain", "ﬃx",
+                                           "workﬂow ﬆream"])
+        rows = {r.doc_id: r for r in
+                webcur.q_ligature_fix(spark, sf).collect()}
+        # doc 0: %4==0 -> no suffix; base text still expands
+        assert rows[0].fixed_text.startswith("effort field")
+        assert rows[1].fixed_text.startswith("plain")
+        assert rows[2].fixed_text.startswith("ffix")
+        for r in rows.values():
+            for lig, _ in webcur._LIGATURE_PAIRS:
+                assert lig not in r.fixed_text
+            # expanded_chars == growth in codepoints
+            assert r.expanded_chars >= 0
+
+    def test_default_extraction_chain_preserves_ligatures(self):
+        # byte-identity policy: the reference does no unicode
+        # normalization, so the golden-path normalize must NOT expand
+        from pdf_extractor_spark.kernels import textnorm
+        assert textnorm.normalize_raw_text("eﬀort ﬁeld") == "eﬀort ﬁeld"

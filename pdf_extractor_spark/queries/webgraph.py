@@ -416,6 +416,72 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host"))
 
 
+def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree profile: outdegree, indegree, and reciprocity
+    (how many of a host's out-neighbors link back) — the cheap graph
+    health signals a crawl operator watches (reciprocal-link farms,
+    sink hosts with indegree≫outdegree).
+
+    Shape: the distinct-edge table aggregated twice (once per
+    direction) plus a self-join on reversed pairs for reciprocity —
+    all on the post-agg host-pair table, never on the page corpus; the
+    reversed-pair join is an equi-join on both endpoints, so it
+    shuffles host pairs, not pages."""
+    edges = (_edges(spark, sf_dir)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host")
+             .localCheckpoint())
+    outd = edges.groupBy(F.col("src_host").alias("host")) \
+        .agg(F.count("*").alias("outdeg"))
+    ind = edges.groupBy(F.col("dst_host").alias("host")) \
+        .agg(F.count("*").alias("indeg"))
+    rev = edges.select(F.col("dst_host").alias("src_host"),
+                       F.col("src_host").alias("dst_host"))
+    recip = (edges.join(rev, ["src_host", "dst_host"], "left_semi")
+             .groupBy(F.col("src_host").alias("host"))
+             .agg(F.count("*").alias("reciprocal")))
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    return (hosts
+            .join(outd, "host", "left").join(ind, "host", "left")
+            .join(recip, "host", "left")
+            .select("host",
+                    F.coalesce("outdeg", F.lit(0)).cast("long")
+                     .alias("outdeg"),
+                    F.coalesce("indeg", F.lit(0)).cast("long")
+                     .alias("indeg"),
+                    F.coalesce("reciprocal", F.lit(0)).cast("long")
+                     .alias("reciprocal"))
+            .orderBy("host"))
+
+
+ORACLE_HOST_DEGREES = f"""
+WITH {_graph_cte()},
+outd AS (SELECT src_host AS host, COUNT(*) AS outdeg
+         FROM edges GROUP BY 1),
+ind AS (SELECT dst_host AS host, COUNT(*) AS indeg
+        FROM edges GROUP BY 1),
+recip AS (
+  SELECT e.src_host AS host, COUNT(*) AS reciprocal
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src_host = e.dst_host
+                  AND r.dst_host = e.src_host)
+  GROUP BY e.src_host
+)
+SELECT h.host,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg,
+       CAST(COALESCE(r.reciprocal, 0) AS BIGINT) AS reciprocal
+FROM hosts h
+LEFT JOIN outd o ON o.host = h.host
+LEFT JOIN ind i ON i.host = h.host
+LEFT JOIN recip r ON r.host = h.host
+ORDER BY h.host
+"""
+
+
 def _hits_oracle() -> str:
     prev_hub = "h0"
     rounds = []
@@ -471,4 +537,5 @@ QUERIES = {
     "host_sample_weights": (q_host_sample_weights,
                             ORACLE_HOST_SAMPLE_WEIGHTS),
     "host_hits": (q_host_hits, ORACLE_HOST_HITS),
+    "host_degrees": (q_host_degrees, ORACLE_HOST_DEGREES),
 }

@@ -143,6 +143,21 @@ class TestHostPagerank:
                                                        sf).collect()}
         assert got == expected
 
+    def test_degrees_match_python_recomputation(self, spark, tmp_path):
+        n_docs = 60
+        sf = _write_docs(spark, tmp_path, n_docs)
+        adj = {(s, d) for (s, d) in _expected_edges(n_docs) if s != d}
+        hosts = {h for e in adj for h in e}
+        expected = {}
+        for h in hosts:
+            out_n = {d for (s, d) in adj if s == h}
+            in_n = {s for (s, d) in adj if d == h}
+            recip = sum(1 for d in out_n if (d, h) in adj)
+            expected[h] = (len(out_n), len(in_n), recip)
+        got = {r.host: (r.outdeg, r.indeg, r.reciprocal)
+               for r in webgraph.q_host_degrees(spark, sf).collect()}
+        assert got == expected
+
     def test_hits_matches_integer_reference(self, spark, tmp_path):
         n_docs = 60
         sf = _write_docs(spark, tmp_path, n_docs)

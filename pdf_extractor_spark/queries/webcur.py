@@ -948,8 +948,12 @@ def q_crawl_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("canonical_url", "capture_rank"))
 
 
-ORACLE_CRAWL_DELTAS = f"""
-WITH u AS (
+def _crawl_canon_cte() -> str:
+    """u → parts → … → canon (doc_id, ts, content_hash, host,
+    canonical_url): the canonicalized crawl-capture CTE chain shared
+    by every recrawl-family oracle (crawl_deltas, web_pipeline, and
+    webgraph's frontier_priority)."""
+    return f"""u AS (
   SELECT doc_id, {_CRAWL_URL_SQL} AS url,
          {_CRAWL_TS} AS ts,
          md5({_crawl_body("CAST({} AS VARCHAR)")}) AS content_hash
@@ -982,13 +986,17 @@ WITH u AS (
            AS params
   FROM parts3
 ), canon AS (
-  SELECT doc_id, ts, content_hash,
+  SELECT doc_id, ts, content_hash, host,
          concat(scheme, '://', host, keep_port, path,
                 CASE WHEN len(params) > 0
                      THEN concat('?', array_to_string(params, '&'))
                      ELSE '' END) AS canonical_url
   FROM parts4
-), ranked AS (
+)"""
+
+
+ORACLE_CRAWL_DELTAS = f"""
+WITH {_crawl_canon_cte()}, ranked AS (
   SELECT canonical_url, doc_id, ts, content_hash,
          CAST(ROW_NUMBER() OVER w AS BIGINT) AS capture_rank,
          lag(content_hash) OVER w AS prev_hash,
@@ -1132,46 +1140,7 @@ def curate_pages(pages: DataFrame,
 
 
 ORACLE_WEB_PIPELINE = f"""
-WITH u AS (
-  SELECT doc_id, {_CRAWL_URL_SQL} AS url,
-         {_CRAWL_TS} AS ts,
-         md5({_crawl_body("CAST({} AS VARCHAR)")}) AS content_hash
-  FROM documents
-), parts AS (
-  SELECT doc_id, ts, content_hash,
-         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-         split_part(split_part(url, '#', 1), '://', 2) AS rest
-  FROM u
-), parts2 AS (
-  SELECT *, split_part(split_part(rest, '?', 1), '/', 1) AS hostport,
-         substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1)
-           AS pathq
-  FROM parts
-), parts3 AS (
-  SELECT *,
-         CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
-              THEN substr(lower(split_part(hostport, ':', 1)), 5)
-              ELSE lower(split_part(hostport, ':', 1)) END AS host,
-         split_part(hostport, ':', 2) AS port
-  FROM parts2
-), parts4 AS (
-  SELECT *,
-         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-                   OR (scheme = 'http' AND port = '80')
-              THEN '' ELSE concat(':', port) END AS keep_port,
-         split_part(pathq, '?', 1) AS path,
-         list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
-                               p -> substr(p, 1, 4) != 'utm_' AND p != ''))
-           AS params
-  FROM parts3
-), canon AS (
-  SELECT doc_id, ts, content_hash, host,
-         concat(scheme, '://', host, keep_port, path,
-                CASE WHEN len(params) > 0
-                     THEN concat('?', array_to_string(params, '&'))
-                     ELSE '' END) AS canonical_url
-  FROM parts4
-), flagged AS (
+WITH {_crawl_canon_cte()}, flagged AS (
   SELECT canonical_url, doc_id, host, ts,
          CAST(ROW_NUMBER() OVER w AS BIGINT) AS capture_rank,
          (lag(content_hash) OVER w IS NULL

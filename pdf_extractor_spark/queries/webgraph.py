@@ -32,7 +32,7 @@ cases), so the DuckDB oracles also adversarially pin the host algebra.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_SITES = 10
@@ -189,8 +189,6 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every page linking to it with unique anchors) cannot concentrate
     a reducer. K and tie-break (count desc, anchor asc) are
     deterministic total order."""
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     html = _html("cast({} as string)")
     arr = docs.select(
@@ -530,6 +528,80 @@ ORDER BY h.host
 ORACLE_HOST_HITS = _hits_oracle()
 
 
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-frontier prioritization — the crawl scheduler's core
+    query: order pages by staleness × host authority, so the crawler
+    revisits important hosts' stale pages first. Composes BOTH web
+    families: page staleness from the crawl-capture log (webcur's
+    canonicalized CDX synthesis) and authority from the link graph's
+    PageRank — joined on the shared canonical host space.
+
+    Integer exact: staleness in whole minutes against the newest
+    capture anywhere (the 'now' horizon — one 1-row broadcast),
+    priority = staleness_min · rank_ppb div 1000 (int64 headroom:
+    ~2·10^6 minutes ≈ 4 years of staleness × full 10^9 ppb rank is
+    2·10^12). Shape: one groupBy canonical_url over the capture log,
+    a 1-row horizon broadcast, the |hosts|-row rank broadcast, and a
+    distributed top-k — no corpus-volume join anywhere."""
+    from .webcur import _CRAWL_TS, _CRAWL_URL_SPARK, canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id",
+                       F.expr(_CRAWL_URL_SPARK).alias("url"),
+                       F.expr(_CRAWL_TS).alias("ts"))
+    last = (canonicalize_urls(base)
+            .groupBy("canonical_url", "host")
+            .agg(F.max("ts").alias("last_ts")))
+    horizon = last.agg(F.max("last_ts").alias("now_ts"))
+    rank = q_host_pagerank(spark, sf_dir)
+    scored = (last.crossJoin(F.broadcast(horizon))
+              .join(F.broadcast(rank), "host")
+              .select("canonical_url", "host", "last_ts",
+                      F.expr("(now_ts - last_ts) div 60")
+                       .alias("staleness_min"), "rank_ppb")
+              .withColumn("priority",
+                          F.expr("staleness_min * rank_ppb div 1000")))
+    topk = (scored.orderBy(F.desc("priority"), F.asc("canonical_url"))
+            .limit(TOP_FRONTIER))
+    w = Window.orderBy(F.desc("priority"), F.asc("canonical_url"))
+    return (topk.withColumn("rk", F.row_number().over(w))
+            .orderBy("rk"))
+
+
+TOP_FRONTIER = 25
+
+
+def _frontier_oracle() -> str:
+    from .webcur import _crawl_canon_cte
+    return f"""
+WITH {_pagerank_cte()},
+{_crawl_canon_cte()},
+last AS (
+  SELECT canonical_url, host, MAX(ts) AS last_ts
+  FROM canon GROUP BY canonical_url, host
+), scored AS (
+  SELECT l.canonical_url, l.host, l.last_ts,
+         ((SELECT MAX(last_ts) FROM last) - l.last_ts) // 60
+           AS staleness_min,
+         r.rank_ppb
+  FROM last l JOIN r{PR_ITERS} r ON r.host = l.host
+)
+SELECT canonical_url, host, last_ts, staleness_min, rank_ppb,
+       (staleness_min * rank_ppb) // 1000 AS priority,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY (staleness_min * rank_ppb) // 1000 DESC,
+               canonical_url ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_FRONTIER}
+ORDER BY rk
+"""
+
+
+ORACLE_FRONTIER_PRIORITY = _frontier_oracle()
+
+
 QUERIES = {
     "outlinks": (q_outlinks, ORACLE_OUTLINKS),
     "anchor_texts": (q_anchor_texts, ORACLE_ANCHOR_TEXTS),
@@ -538,4 +610,5 @@ QUERIES = {
                             ORACLE_HOST_SAMPLE_WEIGHTS),
     "host_hits": (q_host_hits, ORACLE_HOST_HITS),
     "host_degrees": (q_host_degrees, ORACLE_HOST_DEGREES),
+    "frontier_priority": (q_frontier_priority, ORACLE_FRONTIER_PRIORITY),
 }

@@ -182,6 +182,19 @@ class TestHostPagerank:
                for r in webgraph.q_host_hits(spark, sf).collect()}
         assert got == {h: (auth[h], hub[h]) for h in hosts}
 
+    def test_frontier_priority_semantics(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, 60)
+        rows = webgraph.q_frontier_priority(spark, sf).collect()
+        assert 0 < len(rows) <= webgraph.TOP_FRONTIER
+        # rank column is a contiguous 1..n in priority order
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        pri = [(r.priority, r.canonical_url) for r in rows]
+        assert pri == sorted(pri, key=lambda t: (-t[0], t[1]))
+        # arithmetic consistency per row
+        for r in rows:
+            assert r.priority == r.staleness_min * r.rank_ppb // 1000
+            assert r.host in r.canonical_url
+
     def test_rank_joins_are_broadcast(self, spark, tmp_path):
         # the per-iteration rank ⋈ edges must broadcast the rank side —
         # a sort-merge join here would shuffle the edge set K times.

@@ -3,7 +3,8 @@ src/__main__.py) — re-shaped for a table-in/table-out engine: instead
 of one PDF at a time, each command runs over a pages/documents table.
 
   python -m pdf_extractor_spark extract  --input PATH --output PATH
-      [--levels raw,lines,chapters,processed,markdown] [--partitions N]
+      [--input-format parquet|warc] [--partitions N]
+      [--levels raw,lines,chapters,processed,markdown]
   python -m pdf_extractor_spark validate --input PATH --output PATH
   python -m pdf_extractor_spark validate-md --input PATH --output PATH
       [--text-col COL]   (reference: validate_markdown_command,
@@ -46,7 +47,11 @@ def cmd_extract(args) -> int:
                                    repartition_salted)
 
     spark = _spark(args.cpus)
-    pages = spark.read.parquet(args.input)
+    if getattr(args, "input_format", "parquet") == "warc":
+        from .sources.warc import read_warc
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     if args.partitions:
         pages = repartition_salted(pages, args.partitions)
     levels = tuple(args.levels.split(","))
@@ -294,6 +299,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("extract", help="pages table -> extracted levels")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="warc: --input is a dir of .warc/.warc.gz "
+                        "crawl container files")
     p.add_argument("--levels", default="raw")
     p.add_argument("--partitions", type=int, default=0)
     p.add_argument("--jvm-text-lane", action="store_true",

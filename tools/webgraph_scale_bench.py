@@ -88,6 +88,16 @@ def run_level(cpus: int, sf_dir: str, only=None, sites=None,
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("host", "auth_u",
                                   "hub_u")).alias("ck"))),
+        ("host_degrees",
+         lambda: webgraph.q_host_degrees(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("host", "outdeg", "indeg",
+                                  "reciprocal")).alias("ck"))),
+        ("frontier_priority",
+         lambda: webgraph.q_frontier_priority(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("canonical_url",
+                                  "priority", "rk")).alias("ck"))),
         ("bm25_topk",
          lambda: search.q_bm25_topk(spark, sf_dir).agg(
              F.count("*").alias("n"),

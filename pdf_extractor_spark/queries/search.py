@@ -147,6 +147,123 @@ ORDER BY rk
 """
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the top-K merge rules
+    from the corpus — the vocabulary-construction step of an LLM data
+    platform.
+
+    Scale shape: the corpus is touched ONCE (word-frequency table via
+    map-side-combined count); every training round then runs on the
+    compact vocab table — at web scale |vocab| is millions of rows
+    while the corpus is trillions, which is why word-frequency BPE is
+    the only formulation that scales. Each word's segmentation is a
+    space-delimited symbol string, so applying a merge is ONE literal
+    ``replace`` (both engines scan left-to-right non-overlapping —
+    verified identical semantics), and the round's best pair feeds the
+    replace as a broadcast 1-row column pair: the entire K-round
+    training is DataFrame-lazy, no driver-side strings. Vocab table
+    localCheckpointed per round (the PageRank/HITS lesson).
+
+    Contract nuance (pinned by the oracle): one replace pass per
+    round, i.e. a merge (x,x) applied to a run ``x x x`` yields
+    ``xx x`` — exhaustive same-merge reapplication within a word (the
+    HuggingFace behavior on ≥3-symbol runs) would need a fixpoint
+    loop; real text makes this corner vanishingly rare and the
+    deviation is documented rather than hidden.
+
+    Determinism: best pair = max count, ties broken (lhs, rhs)
+    ascending; counts are int64 sums of int64 word counts."""
+    words = (_t(spark, sf_dir, "documents")
+             .filter(F.trim(F.col("text")) != "")
+             .select(F.explode(F.expr(_W_ARR)).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    cur = (words
+           .select(F.expr("concat(' ', array_join(split(word, ''), ' '),"
+                          " ' ')").alias("seg"), "cnt")
+           .localCheckpoint())
+    merges = []
+    for k in range(1, BPE_MERGES + 1):
+        pairs = (cur
+                 .select(F.expr("filter(split(trim(seg), ' '),"
+                                " x -> x <> '')").alias("ws"), "cnt")
+                 .select(F.explode(F.expr(
+                     "CASE WHEN size(ws) >= 2 THEN"
+                     " transform(sequence(1, size(ws) - 1),"
+                     " i -> struct(ws[i-1] as lhs, ws[i] as rhs))"
+                     " ELSE cast(array() as"
+                     " array<struct<lhs:string,rhs:string>>) END"))
+                  .alias("p"), "cnt")
+                 .groupBy(F.col("p.lhs").alias("lhs"),
+                          F.col("p.rhs").alias("rhs"))
+                 .agg(F.sum("cnt").alias("pair_count")))
+        best = (pairs.orderBy(F.desc("pair_count"), F.asc("lhs"),
+                              F.asc("rhs"))
+                .limit(1).localCheckpoint())
+        merges.append(best.select(
+            F.lit(k).cast("int").alias("merge_rank"), "lhs", "rhs",
+            "pair_count"))
+        cur = (cur.crossJoin(F.broadcast(best))
+               .select(F.expr(
+                   "replace(seg, concat(' ', lhs, ' ', rhs, ' '),"
+                   " concat(' ', lhs, rhs, ' '))").alias("seg"), "cnt")
+               .localCheckpoint())
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""p{k} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT ws[i] AS lhs, ws[i + 1] AS rhs, cnt FROM (
+      SELECT list_filter(string_split(trim(seg), ' '), x -> x <> '')
+               AS ws, cnt
+      FROM {prev}
+    ), LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    WHERE len(ws) >= 2
+  ) GROUP BY lhs, rhs
+), b{k} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM p{k}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+), s{k} AS MATERIALIZED (
+  SELECT replace(seg, concat(' ', b.lhs, ' ', b.rhs, ' '),
+                 concat(' ', b.lhs, b.rhs, ' ')) AS seg, cnt
+  FROM {prev}, b{k} b
+)""")
+        prev = f"s{k}"
+    its = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1))
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS word
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT concat(' ', array_to_string(string_split(word, ''), ' '),
+                ' ') AS seg, cnt
+  FROM w
+),
+{its}
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count
+FROM ({union}) ORDER BY merge_rank
+"""
+
+
+ORACLE_BPE = _bpe_oracle()
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, ORACLE_BM25),
+    "bpe_merges": (q_bpe_merges, ORACLE_BPE),
 }

@@ -95,3 +95,66 @@ class TestBm25:
         assert "TakeOrderedAndProject" in plan
         assert "Generate" not in plan
         assert "CartesianProduct" not in plan
+
+
+def _python_bpe(texts, k):
+    """Mirror of q_bpe_merges: word-frequency BPE, one left-to-right
+    non-overlapping replace pass per round, ties (lhs, rhs) asc."""
+    words = {}
+    for t in texts:
+        if t.strip() == "":
+            continue
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    segs = {f" {' '.join(w)} ": c for w, c in words.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = {}
+        for seg, c in segs.items():
+            ws = seg.split()
+            for a, b in zip(ws, ws[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = sorted(pairs.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, lhs, rhs, cnt))
+        nxt = {}
+        for seg, c in segs.items():
+            ns = seg.replace(f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+            nxt[ns] = nxt.get(ns, 0) + c
+        segs = nxt
+    return merges
+
+
+class TestBpeMerges:
+    def test_matches_python_reference(self, spark, tmp_path):
+        texts = ["low lower lowest low low",
+                 "newer newest new low",
+                 "wider wide widest newer"]
+        sf = _write_docs(spark, tmp_path, texts)
+        got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+               for r in search.q_bpe_merges(spark, sf).collect()]
+        assert got == _python_bpe(texts, search.BPE_MERGES)
+
+    def test_merged_symbols_chain_into_later_rounds(self, spark,
+                                                    tmp_path):
+        # 'ab' wins round 1; round 2 must see the fused symbol 'ab'
+        # as a unit (merge ('ab','c') or ('x','ab') style), proving
+        # rounds train on the UPDATED segmentation
+        texts = ["abc abc abc abc abd"]
+        sf = _write_docs(spark, tmp_path, texts)
+        rows = search.q_bpe_merges(spark, sf).collect()
+        assert (rows[0].lhs, rows[0].rhs) == ("a", "b")
+        assert rows[1].lhs == "ab"  # fused symbol participates
+
+    def test_single_pass_run_contract(self, spark, tmp_path):
+        # documented deviation: (x,x) over 'xxxx' merges once per
+        # round left-to-right: round 1 -> 'xx x x' ... the mirror
+        # encodes the same rule, so equality IS the pin
+        texts = ["xxxx xxxx yy"]
+        sf = _write_docs(spark, tmp_path, texts)
+        got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+               for r in search.q_bpe_merges(spark, sf).collect()]
+        assert got == _python_bpe(texts, search.BPE_MERGES)

@@ -176,13 +176,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: best pair = max count, ties broken (lhs, rhs)
     ascending; counts are int64 sums of int64 word counts."""
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared K-round training: returns ([per-round 1-row merge DFs],
+    vocab DF (word, cnt, seg) carrying each word's FINAL
+    segmentation). Segmentations are collision-free per word (strip
+    the spaces and the original word reappears), so `word` rides
+    through every round unchanged."""
     words = (_t(spark, sf_dir, "documents")
              .filter(F.trim(F.col("text")) != "")
              .select(F.explode(F.expr(_W_ARR)).alias("word"))
              .groupBy("word").agg(F.count("*").alias("cnt")))
     cur = (words
-           .select(F.expr("concat(' ', array_join(split(word, ''), ' '),"
-                          " ' ')").alias("seg"), "cnt")
+           .select("word", "cnt",
+                   F.expr("concat(' ', array_join(split(word, ''), ' '),"
+                          " ' ')").alias("seg"))
            .localCheckpoint())
     merges = []
     for k in range(1, BPE_MERGES + 1):
@@ -206,14 +220,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(k).cast("int").alias("merge_rank"), "lhs", "rhs",
             "pair_count"))
         cur = (cur.crossJoin(F.broadcast(best))
-               .select(F.expr(
+               .select("word", "cnt", F.expr(
                    "replace(seg, concat(' ', lhs, ' ', rhs, ' '),"
-                   " concat(' ', lhs, rhs, ' '))").alias("seg"), "cnt")
+                   " concat(' ', lhs, rhs, ' '))").alias("seg"))
                .localCheckpoint())
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return merges, cur
 
 
 def _bpe_oracle() -> str:
@@ -233,37 +244,110 @@ def _bpe_oracle() -> str:
   SELECT lhs, rhs, pair_count FROM p{k}
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ), s{k} AS MATERIALIZED (
-  SELECT replace(seg, concat(' ', b.lhs, ' ', b.rhs, ' '),
-                 concat(' ', b.lhs, b.rhs, ' ')) AS seg, cnt
+  SELECT word, cnt,
+         replace(seg, concat(' ', b.lhs, ' ', b.rhs, ' '),
+                 concat(' ', b.lhs, b.rhs, ' ')) AS seg
   FROM {prev}, b{k} b
 )""")
         prev = f"s{k}"
     its = ",\n".join(rounds)
-    union = "\nUNION ALL\n".join(
-        f"SELECT {k} AS merge_rank, lhs, rhs, pair_count FROM b{k}"
-        for k in range(1, BPE_MERGES + 1))
-    return f"""
-WITH w AS MATERIALIZED (
+    return f"""w AS MATERIALIZED (
   SELECT word, COUNT(*) AS cnt FROM (
     SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
              AS word
     FROM documents WHERE trim(text) <> ''
   ) GROUP BY word
 ), s0 AS MATERIALIZED (
-  SELECT concat(' ', array_to_string(string_split(word, ''), ' '),
-                ' ') AS seg, cnt
+  SELECT word, cnt,
+         concat(' ', array_to_string(string_split(word, ''), ' '),
+                ' ') AS seg
   FROM w
 ),
-{its}
+{its}"""
+
+
+def _bpe_merges_oracle() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1))
+    return f"""
+WITH {_bpe_oracle()}
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count
 FROM ({union}) ORDER BY merge_rank
 """
 
 
-ORACLE_BPE = _bpe_oracle()
+ORACLE_BPE = _bpe_merges_oracle()
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary: per-document token counts
+    under the trained merges — the train→apply round trip a tokenizer
+    pipeline runs (the compression ratio ws_tokens/bpe_tokens is the
+    vocabulary-quality signal... inverted: bpe > ws since K merges is
+    a tiny vocab).
+
+    Scale shape: encoding happens on the UNIQUE-WORD table (apply K
+    replaces to |vocab| rows), never on the token stream; the stream
+    only contributes per-(doc, word) occurrence counts, joined back on
+    word and aggregated per doc — at web scale that join is keyed on
+    the word (both sides naturally partitioned by it), and the heavy
+    side ships two ints per row."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    tok = vocab.select(
+        "word",
+        F.expr("size(filter(split(trim(seg), ' '), x -> x <> ''))")
+         .cast("long").alias("word_tokens"))
+    docs = _t(spark, sf_dir, "documents")
+    occ = (docs.filter(F.trim(F.col("text")) != "")
+           .select("doc_id", F.explode(F.expr(_W_ARR)).alias("word"))
+           .groupBy("doc_id", "word")
+           .agg(F.count("*").alias("n_occ")))
+    per_doc = (occ.join(tok, "word")
+               .groupBy("doc_id")
+               .agg(F.sum("n_occ").alias("ws_tokens"),
+                    F.sum(F.col("n_occ") * F.col("word_tokens"))
+                     .alias("bpe_tokens")))
+    base = docs.select("doc_id")
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("ws_tokens", F.lit(0)).cast("long")
+                     .alias("ws_tokens"),
+                    F.coalesce("bpe_tokens", F.lit(0)).cast("long")
+                     .alias("bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH {_bpe_oracle()},
+wt AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(trim(seg), ' '),
+                              x -> x <> '')) AS BIGINT) AS word_tokens
+  FROM s{BPE_MERGES}
+), occ AS (
+  SELECT doc_id, word, COUNT(*) AS n_occ FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS word
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY doc_id, word
+), per_doc AS (
+  SELECT occ.doc_id,
+         CAST(SUM(n_occ) AS BIGINT) AS ws_tokens,
+         CAST(SUM(n_occ * word_tokens) AS BIGINT) AS bpe_tokens
+  FROM occ JOIN wt USING (word) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.ws_tokens, 0) AS ws_tokens,
+       COALESCE(p.bpe_tokens, 0) AS bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 QUERIES = {
     "bm25_topk": (q_bm25_topk, ORACLE_BM25),
     "bpe_merges": (q_bpe_merges, ORACLE_BPE),
+    "bpe_encode": (q_bpe_encode, ORACLE_BPE_ENCODE),
 }

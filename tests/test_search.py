@@ -158,3 +158,31 @@ class TestBpeMerges:
         got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
                for r in search.q_bpe_merges(spark, sf).collect()]
         assert got == _python_bpe(texts, search.BPE_MERGES)
+
+    def test_encode_counts_match_python_mirror(self, spark, tmp_path):
+        texts = ["low lower lowest low low",
+                 "newer newest new low",
+                 "wider wide widest newer"]
+        sf = _write_docs(spark, tmp_path, texts)
+        # python mirror: train, then tokenize each doc under the
+        # final segmentations
+        words = {}
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    words[w] = words.get(w, 0) + 1
+        segs = {w: f" {' '.join(w)} " for w in words}
+        for _, lhs, rhs, _c in _python_bpe(texts, search.BPE_MERGES):
+            segs = {w: s.replace(f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+                    for w, s in segs.items()}
+        exp = {}
+        for i, t in enumerate(texts):
+            ws = [w for w in t.split(" ") if w]
+            exp[i] = (len(ws), sum(len(segs[w].split()) for w in ws))
+        got = {r.doc_id: (r.ws_tokens, r.bpe_tokens)
+               for r in search.q_bpe_encode(spark, sf).collect()}
+        assert got == exp
+        # merges compress: bpe token count strictly below char count
+        chars = {i: sum(len(w) for w in t.split(" ") if w)
+                 for i, t in enumerate(texts)}
+        assert all(got[i][1] < chars[i] for i in got)

@@ -103,6 +103,24 @@ def run_level(cpus: int, sf_dir: str, only=None, sites=None,
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("doc_id", "score_u",
                                   "rk")).alias("ck"))),
+        ("bpe_wordfreq",
+         lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.trim(F.col("text")) != "")
+         .selectExpr("explode(filter(split(text, ' '), x -> x <> ''))"
+                     " AS word")
+         .groupBy("word").count().agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("word", "count")).alias("ck"))),
+        ("bpe_merges",
+         lambda: search.q_bpe_merges(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("merge_rank", "lhs", "rhs",
+                                  "pair_count")).alias("ck"))),
+        ("bpe_encode",
+         lambda: search.q_bpe_encode(spark, sf_dir).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("doc_id", "ws_tokens",
+                                  "bpe_tokens")).alias("ck"))),
     ]
     for name, thunk in jobs:
         if only and name not in only:

@@ -186,3 +186,26 @@ class TestBpeMerges:
         chars = {i: sum(len(w) for w in t.split(" ") if w)
                  for i, t in enumerate(texts)}
         assert all(got[i][1] < chars[i] for i in got)
+
+    def test_property_random_corpus_matches_mirror(self, spark,
+                                                   tmp_path):
+        # seeded-random corpus with adversarial shapes: same-char runs
+        # (the single-pass contract), single-char words, tie-forcing
+        # repeats, multi-codepoint letters (split('') is per codepoint
+        # in both Spark and the mirror)
+        import random
+        rng = random.Random(20260818)
+        alphabet = list("abcdexyz") + ["é", "ß"]
+        vocab = ["aaa", "xxxx", "q", "café", "straße"]
+        for _ in range(60):
+            vocab.append("".join(rng.choice(alphabet)
+                                 for _ in range(rng.randint(1, 9))))
+        texts = []
+        for _ in range(25):
+            texts.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randint(0, 14))))
+        texts.append("")
+        sf = _write_docs(spark, tmp_path, texts)
+        got_m = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+                 for r in search.q_bpe_merges(spark, sf).collect()]
+        assert got_m == _python_bpe(texts, search.BPE_MERGES)

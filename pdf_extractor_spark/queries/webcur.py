@@ -1042,6 +1042,114 @@ ORDER BY doc_id
 """
 
 
+# --- Sitemap URL discovery ---------------------------------------------------
+
+# Deterministic sitemap-XML synthesis: each doc is a host's sitemap
+# carrying 3 <loc> entries — one URL the crawl already has (a capture
+# URL from the CDX synthesis), one duplicate-after-canonicalization
+# (www./utm noise), and one genuinely new path. Discovery must emit
+# exactly the new canonical URLs.
+_SITEMAP_KEY = "doc_id % 100"
+
+
+def _sitemap_xml(cast_s: str) -> str:
+    k = _SITEMAP_KEY
+    # the crawl's captures all canonicalize to /p/<k>?a=1&b=2 (utm
+    # stripped, params sorted) — the known loc must land EXACTLY there
+    # or the anti join cannot recognize it (the first cut of this
+    # synthesis emitted a bare /p/<k> and "discovered" 100 URLs the
+    # crawl already had)
+    loc_known = (f"concat('https://site-', {cast_s.format(f'({k}) % 10')},"
+                 f" '.example.com/p/', {cast_s.format(k)}, '?b=2&a=1')")
+    loc_dup = (f"concat('https://WWW.site-',"
+               f" {cast_s.format(f'({k}) % 10')},"
+               f" '.example.com/p/', {cast_s.format(k)},"
+               f" '?a=1&utm_source=map&b=2')")
+    loc_new = (f"concat('https://site-', {cast_s.format(f'({k}) % 10')},"
+               f" '.example.com/new/', {cast_s.format('doc_id % 40')})")
+    return (f"concat('<urlset><url><loc>', {loc_known},"
+            f" '</loc></url><url><loc>', {loc_dup},"
+            f" '</loc></url><url><loc>', {loc_new},"
+            f" '</loc></url></urlset>')")
+
+
+_LOC_RE = "<loc>([^<]+)</loc>"
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier discovery: parse sitemap XML, canonicalize every
+    <loc>, and emit the URLs the crawl has NOT seen — the feed that
+    precedes ``frontier_priority``'s scheduling.
+
+    Scale shape: <loc> extraction is ``regexp_extract_all`` riding the
+    scan (no XML library, no UDF — sitemaps are flat by spec); the
+    seen-set membership is a LEFT ANTI join on canonical_url (at
+    10^12 both sides partition on the join key; here the seen side is
+    derived in the same query). DISTINCT collapses the
+    canonicalization-duplicates before the anti join so each candidate
+    ships once."""
+    docs = _t(spark, sf_dir, "documents")
+    locs = (docs
+            .select(F.explode(F.expr(
+                f"regexp_extract_all({_sitemap_xml('cast({} as string)')},"
+                f" '{_LOC_RE}', 1)")).alias("url")))
+    cand = (canonicalize_urls(locs)
+            .select("canonical_url", "host").distinct())
+    seen = (canonicalize_urls(
+        docs.select(F.expr(_CRAWL_URL_SPARK).alias("url")))
+        .select("canonical_url").distinct())
+    return (cand.join(seen, "canonical_url", "left_anti")
+            .orderBy("canonical_url"))
+
+
+ORACLE_SITEMAP_DISCOVERY = f"""
+WITH locs AS (
+  SELECT u.url FROM documents,
+       unnest(regexp_extract_all({_sitemap_xml("CAST({} AS VARCHAR)")},
+                                 '{_LOC_RE}', 1)) AS u(url)
+), cparts AS (
+  SELECT url,
+         lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM locs
+), cparts2 AS (
+  SELECT *, split_part(split_part(rest, '?', 1), '/', 1) AS hostport,
+         substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1)
+           AS pathq
+  FROM cparts
+), cparts3 AS (
+  SELECT *,
+         CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
+              THEN substr(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         split_part(hostport, ':', 2) AS port
+  FROM cparts2
+), cparts4 AS (
+  SELECT *,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE concat(':', port) END AS keep_port,
+         split_part(pathq, '?', 1) AS path,
+         list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                               p -> substr(p, 1, 4) != 'utm_' AND p != ''))
+           AS params
+  FROM cparts3
+), cand AS (
+  SELECT DISTINCT
+         concat(scheme, '://', host, keep_port, path,
+                CASE WHEN len(params) > 0
+                     THEN concat('?', array_to_string(params, '&'))
+                     ELSE '' END) AS canonical_url,
+         host
+  FROM cparts4
+), {_crawl_canon_cte()}
+SELECT c.canonical_url, c.host
+FROM cand c
+WHERE c.canonical_url NOT IN (SELECT canonical_url FROM canon)
+ORDER BY c.canonical_url
+"""
+
+
 WEB_PIPE_CAP = 10  # max kept (changed) captures per canonical host
 
 
@@ -1178,4 +1286,5 @@ QUERIES = {
     "web_pipeline": (q_web_pipeline, ORACLE_WEB_PIPELINE),
     "url_blocklist": (q_url_blocklist, ORACLE_URL_BLOCKLIST),
     "ligature_fix": (q_ligature_fix, ORACLE_LIGATURE_FIX),
+    "sitemap_discovery": (q_sitemap_discovery, ORACLE_SITEMAP_DISCOVERY),
 }

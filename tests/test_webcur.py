@@ -467,3 +467,19 @@ class TestLigatureFix:
         # normalization, so the golden-path normalize must NOT expand
         from pdf_extractor_spark.kernels import textnorm
         assert textnorm.normalize_raw_text("eﬀort ﬁeld") == "eﬀort ﬁeld"
+
+
+class TestSitemapDiscovery:
+    def test_only_truly_new_urls_emitted(self, spark, tmp_path):
+        n_docs = 120
+        sf = _write_docs(spark, tmp_path, ["w"] * n_docs)
+        rows = webcur.q_sitemap_discovery(spark, sf).collect()
+        # known and canonicalization-duplicate locs collapse onto the
+        # crawl's canonical URLs; only the /new/ paths survive
+        expected = {(f"https://site-{d % 10}.example.com/new/{d % 40}",
+                     f"site-{d % 10}.example.com")
+                    for d in range(n_docs)}
+        assert {(r.canonical_url, r.host) for r in rows} == expected
+        assert all("/new/" in r.canonical_url for r in rows)
+        assert all("utm" not in r.canonical_url
+                   and "WWW" not in r.canonical_url for r in rows)

@@ -9,7 +9,8 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   SPARK_GRAFT_BENCH_DOCS  synthetic pages for the extraction bench
-                          (default 4000)
+                          (default 16000 — big enough that the timed
+                          window is ~10× the job-scheduling floor)
   SPARK_GRAFT_BENCH_RUNS  timed runs per query; the reported per-query
                           number is the MEDIAN (default 3 — pins
                           round-over-round deltas against the
@@ -32,7 +33,7 @@ def log(msg: str) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -62,21 +63,33 @@ def main() -> int:
     warm = extract_pages(pages_src.limit(200), levels=("raw",))
     warm.filter("failure_reason is null").count()  # warm JVM + Arrow path
 
-    pages = repartition_salted(pages_src, cpus * 2)
-    t0 = time.time()
-    extracted = extract_pages(pages, levels=("raw",))
-    ok = extracted.filter("failure_reason is null").count()
-    ex_sec = time.time() - t0
-    log(f"extraction raw: {ok}/{n_docs} ok in {ex_sec:.1f}s "
-        f"({n_docs / ex_sec:.0f} docs/s)")
+    # Median-of-n_runs for BOTH extraction headlines (VERDICT r03 #4: the
+    # single-run ~3s window sat inside the box's 2.5× noise band and the
+    # official record showed a phantom regression).
+    import statistics
 
-    t0 = time.time()
-    full = extract_pages(pages, levels=("raw", "lines", "chapters",
-                                        "processed", "markdown"))
-    ok_full = full.filter("failure_reason is null").count()
-    full_sec = time.time() - t0
-    log(f"extraction full chain: {ok_full}/{n_docs} in {full_sec:.1f}s "
-        f"({n_docs / full_sec:.0f} docs/s)")
+    pages = repartition_salted(pages_src, cpus * 2)
+    raw_runs, full_runs = [], []
+    for i in range(n_runs):
+        t0 = time.time()
+        ok = extract_pages(pages, levels=("raw",)) \
+            .filter("failure_reason is null").count()
+        raw_runs.append(time.time() - t0)
+        t0 = time.time()
+        ok_full = extract_pages(
+            pages, levels=("raw", "lines", "chapters", "processed",
+                           "markdown")) \
+            .filter("failure_reason is null").count()
+        full_runs.append(time.time() - t0)
+        log(f"extraction run {i + 1}/{n_runs}: raw {raw_runs[-1]:.1f}s "
+            f"({ok} ok), full {full_runs[-1]:.1f}s ({ok_full} ok)")
+    ex_sec = statistics.median(raw_runs)
+    full_sec = statistics.median(full_runs)
+    log(f"extraction raw median: {ex_sec:.1f}s ({n_docs / ex_sec:.0f} "
+        f"docs/s; runs {[round(r, 1) for r in raw_runs]})")
+    log(f"extraction full-chain median: {full_sec:.1f}s "
+        f"({n_docs / full_sec:.0f} docs/s; "
+        f"runs {[round(r, 1) for r in full_runs]})")
 
     # --- JVM text lane vs Python fused lane (Q9 promotion evidence) -----
     from pyspark.sql import functions as F
@@ -110,7 +123,6 @@ def main() -> int:
     # whole suite doubles as the cold pass; each query's runs are
     # consecutive, so the median reflects warm steady-state while the
     # spread is logged for the honest cold-vs-warm story.
-    import statistics
     timings = {}
     for name, fn in qreg.queries().items():
         runs = []
@@ -131,13 +143,31 @@ def main() -> int:
                                           if t > 0), 3)
     log(f"suite: {total}s (sum of per-query medians + extraction; "
         f"wall {wall}s across {n_runs} runs/query)")
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    slowest = dict(sorted(((n, t) for n, t in timings.items() if t > 0),
+                          key=lambda kv: -kv[1])[:5])
+    # Per-query timings live in a side file + the stderr log lines above;
+    # the final stdout JSON line stays compact (< ~1500 chars) because the
+    # driver captures only the LAST 2000 chars of stdout and parses the
+    # final line (VERDICT r03 #1: the r03 line with 93 inline timings
+    # overflowed and the official record lost the bench).
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "bench_queries.json")
+    os.makedirs(os.path.dirname(side), exist_ok=True)
+    with open(side, "w") as fh:
+        json.dump({"sf": sf, "runs_per_query": n_runs,
+                   "queries": timings}, fh, indent=1, sort_keys=True)
+    log(f"per-query medians written to {side}")
     result = {
         "metric": "bench suite seconds: extraction headline + sum of "
-                  f"per-query medians (median of {n_runs} runs each)",
+                  f"per-query medians (median of {n_runs} runs each; "
+                  "per-query detail in BENCH/bench_queries.json)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "queries_total": len(timings),
+        "queries_failed": failed,
+        "slowest5": slowest,
         "extraction": {
             "docs": n_docs,
             "sec": round(ex_sec, 3),
@@ -149,7 +179,9 @@ def main() -> int:
             "text_lane_jvm_sec": lane["jvm"],
         },
     }
-    print(json.dumps(result), flush=True)
+    line = json.dumps(result)
+    assert len(line) < 1500, f"final bench line too long: {len(line)}"
+    print(line, flush=True)
     return 0
 
 

@@ -268,9 +268,14 @@ def cmd_curate(args) -> int:
     audit = curate_pages(pages, cap=args.host_cap)
     audit.write.mode("overwrite").parquet(f"{args.output}/audit")
     audit_back = spark.read.parquet(f"{args.output}/audit")
-    kept_urls = audit_back.filter(F.col("verdict") == "kept") \
-        .select("url")
-    (pages.join(kept_urls, "url", "left_semi")
+    # The audit is per-CAPTURE (url, warc_ts) — a recrawled url has one
+    # row per capture with possibly different verdicts, so the kept
+    # corpus must semi-join on BOTH keys. Joining on url alone leaked
+    # every unchanged_recrawl/host_quota capture of any url that had at
+    # least one kept capture (ADVICE r03, high).
+    kept_keys = audit_back.filter(F.col("verdict") == "kept") \
+        .select("url", "warc_ts")
+    (pages.join(kept_keys, ["url", "warc_ts"], "left_semi")
      .write.mode("overwrite").parquet(f"{args.output}/kept"))
     counts = {r["verdict"]: r["n"] for r in
               audit_back.groupBy("verdict")

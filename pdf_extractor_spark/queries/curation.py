@@ -193,7 +193,15 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
                   "sum_len",
                   F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
               .withColumn("wlen_bp",
-                          F.expr("(10000 * sum_len) div n_words"))
+                          # NULL-guard: a whitespace-only doc has
+                          # n_words=0 and this body is documented as
+                          # safe on ANY (doc_id, text) stream — under
+                          # ANSI mode an unguarded div would throw
+                          # (ADVICE r03). Verdict is unaffected: the
+                          # n_words < MIN_WORDS rule short-circuits
+                          # first.
+                          F.expr("IF(n_words = 0, NULL, "
+                                 "(10000 * sum_len) div n_words)"))
               .withColumn("nb", F.size("bg").cast("long"))
               .withColumn("top", F.expr(_mode_fold("bg")))
               .select(
@@ -225,7 +233,8 @@ ORACLE_GOPHER = _GRAMS_CTE + f""", bg AS (
   FROM docs
 ), j AS (
   SELECT s.doc_id, s.n_words,
-         (10000 * s.sum_len) // s.n_words AS wlen_bp,
+         CASE WHEN s.n_words = 0 THEN NULL
+              ELSE (10000 * s.sum_len) // s.n_words END AS wlen_bp,
          COALESCE(b.dup_bp, 0) AS dup_bp, COALESCE(b.top_bp, 0) AS top_bp
   FROM wstats s LEFT JOIN bg b ON s.doc_id = b.doc_id
 )

@@ -251,3 +251,79 @@ def streaming_dedup_cache(spark: SparkSession, source_dir: str,
                 stateStructType=DEDUP_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# --- Lag-based recrawl collapse (exact batch-rule twin; ADVICE r03) ---------
+
+CRAWL_LAG_OUTPUT_SCHEMA = ("canonical_url string, url string, "
+                           "warc_ts_us long, content_hash string, "
+                           "verdict string")
+CRAWL_LAG_STATE_SCHEMA = "last_hash string, last_us long"
+CRAWL_LAG_TTL_US = 24 * 60 * 60 * 1_000_000  # 1 day of recrawl memory
+
+
+def _crawl_lag_group(key: Tuple[Any, ...],
+                     pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-canonical-url state = the PREVIOUS capture's content hash —
+    exactly the ``lag(content_hash)`` the batch audit computes
+    (queries/webcur.py curate_pages), so reverting content A→B→A keeps
+    all three captures, unlike the seen-set semantics of
+    ``dropDuplicatesWithinWatermark``. State is one 32-char hash + one
+    long per live url, evicted once the key has been quiet for the TTL
+    horizon; eviction errs in the SAFE direction (a post-eviction
+    recapture counts as changed and is kept — the stream may keep
+    extra, it never drops a capture the batch keeps)."""
+    (canonical_url,) = key
+    cols = ["canonical_url", "url", "warc_ts_us", "content_hash",
+            "verdict"]
+
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame([], columns=cols)
+        return
+
+    rows = []
+    for pdf in pdfs:
+        rows.extend((int(ts.value) // 1000, str(url), str(h))
+                    for ts, url, h in zip(pdf["warc_ts"], pdf["url"],
+                                          pdf["content_hash"]))
+    rows.sort()  # (event time, url) — the batch window's sort key
+
+    last_hash, last_us = state.get if state.exists else (None, 0)
+    out = []
+    for ts_us, url, h in rows:
+        verdict = ("unchanged_recrawl" if h == last_hash else "kept")
+        out.append((canonical_url, url, ts_us, h, verdict))
+        last_hash, last_us = h, ts_us
+    state.update((last_hash, last_us))
+    state.setTimeoutTimestamp((last_us + CRAWL_LAG_TTL_US) // 1000)
+    yield pd.DataFrame(out, columns=cols)
+
+
+def streaming_crawl_dedup_lag(spark: SparkSession, source_dir: str,
+                              watermark: str = "1 hour") -> DataFrame:
+    """readStream(pages) → per-capture recrawl verdict with the exact
+    consecutive-unchanged rule of the batch ``curate_pages`` stage 1:
+    a capture is ``unchanged_recrawl`` iff its content hash equals the
+    IMMEDIATELY PREVIOUS capture of the same canonical url, else
+    ``kept``. Content hash is ``md5(coalesce(text, ''))`` — identical
+    to the batch hash. Within a micro-batch captures fold in (event
+    time, url) order, the batch window's sort key; across batches the
+    watermark bounds disorder."""
+    from ..queries.webcur import canonicalize_urls
+
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    return (canonicalize_urls(stream)
+            .withColumn("content_hash",
+                        F.md5(F.coalesce(F.col("text"), F.lit(""))))
+            .withWatermark("warc_ts", watermark)
+            .groupBy("canonical_url")
+            .applyInPandasWithState(
+                _crawl_lag_group,
+                outputStructType=CRAWL_LAG_OUTPUT_SCHEMA,
+                stateStructType=CRAWL_LAG_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -83,11 +83,21 @@ def streaming_crawl_dedup(spark: SparkSession, source_dir: str,
     capture's URL in-flight (the webcur codegen algebra is pure
     projections, so it runs unchanged on a stream) and suppress
     recaptures whose (canonical_url, content) was already seen inside
-    the watermark horizon — the ``unchanged_recrawl`` drop of the
-    batch audit as a live filter. CHANGED content on the same
-    canonical URL passes (the key includes the content hash), so the
-    stream keeps exactly the captures the batch pipeline keeps at
-    stage 1.
+    the watermark horizon. The content hash matches the batch
+    ``curate_pages`` hash exactly: ``md5(coalesce(text, ''))`` — an
+    html-only page hashes the empty string, not NULL (ADVICE r03).
+
+    SEMANTIC DIFFERENCE from the batch rule, documented on purpose:
+    ``dropDuplicatesWithinWatermark`` keeps a SEEN-SET per key inside
+    the horizon, while the batch audit's ``unchanged_recrawl`` is
+    LAG-based (drop only consecutive-unchanged captures). For
+    reverting content A→B→A the batch keeps all three captures but
+    this stream drops the third A while the first is still in state.
+    When byte-parity with the batch audit matters, use the stateful
+    twin ``streaming.stateful.streaming_crawl_dedup_lag``, which keys
+    state on the PREVIOUS content hash per canonical url and
+    reproduces the consecutive-unchanged rule exactly (A→B→A keeps
+    all three; tests/test_streaming_stateful.py pins both behaviors).
 
     State: two 16-byte md5s per entry (url hash + content hash), never
     the URL or body text, evicted at the watermark — bounded on an
@@ -100,7 +110,8 @@ def streaming_crawl_dedup(spark: SparkSession, source_dir: str,
     return (canonicalize_urls(stream)
             .withWatermark("warc_ts", watermark)
             .withColumn("url_hash", F.md5("canonical_url"))
-            .withColumn("content_hash", F.md5("text"))
+            .withColumn("content_hash",
+                        F.md5(F.coalesce(F.col("text"), F.lit(""))))
             .dropDuplicatesWithinWatermark(["url_hash", "content_hash"]))
 
 

@@ -249,3 +249,49 @@ def test_curate_cli_writes_kept_and_audit(spark, tmp_path):
     per_host = (audit.filter("verdict = 'kept'")
                 .groupBy("host").count().collect())
     assert per_host and all(r["count"] <= 4 for r in per_host)
+
+
+@pytest.mark.spark
+def test_curate_cli_recaptures_do_not_leak(spark, tmp_path):
+    """ADVICE r03 (high): the audit is per-capture (url, warc_ts); a
+    url recaptured with unchanged text has one kept row AND one
+    unchanged_recrawl row. The kept corpus must contain ONLY the kept
+    captures — with the old url-only semi-join every recapture of a
+    kept url leaked in."""
+    import datetime as dt
+
+    from pdf_extractor_spark.__main__ import main as cli_main
+
+    def ts(h):
+        return dt.datetime(2025, 1, 1, h)
+
+    rows = []
+    for i in range(8):
+        url = f"https://site{i % 2}.example/page{i}"
+        rows.append((url, ts(1), None, f"body {i}", "en"))
+        rows.append((url, ts(2), None, f"body {i}", "en"))   # unchanged
+        rows.append((url, ts(3), None, f"body {i} v2", "en"))  # changed
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string").write.parquet(src)
+    argv = ["curate", "--input", src, "--output", out,
+            "--host-cap", "100"]
+    assert cli_main(argv) == 0
+    audit = spark.read.parquet(f"{out}/audit")
+    kept = spark.read.parquet(f"{out}/kept")
+    assert audit.count() == 24
+    n_unchanged = audit.filter("verdict = 'unchanged_recrawl'").count()
+    assert n_unchanged == 8
+    # kept corpus = exactly the kept CAPTURES, not all captures of
+    # kept urls (24 here, since every url has a kept capture)
+    assert kept.count() == audit.filter("verdict = 'kept'").count() == 16
+    kept_keys = {(r.url, r.warc_ts) for r in
+                 kept.select("url", "warc_ts").collect()}
+    audit_kept_keys = {(r.url, r.warc_ts) for r in
+                       audit.filter("verdict = 'kept'")
+                       .select("url", "warc_ts").collect()}
+    assert kept_keys == audit_kept_keys
+    for u, t in kept_keys:
+        assert t != ts(2)  # no unchanged recapture leaked

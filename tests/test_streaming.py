@@ -121,3 +121,20 @@ def test_streaming_gopher_filter_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_words, r.wlen_bp, r.dup_bp, r.top_bp, r.verdict)
             for r in gopher_filter(docs).collect()}
     assert got == want
+
+
+def test_gopher_filter_empty_text_no_ansi_divide_error(spark):
+    """ADVICE r03 (low): a whitespace-only doc has n_words=0; the
+    wlen_bp division must be NULL-guarded or ANSI mode (Spark 4
+    default) throws DIVIDE_BY_ZERO. The verdict short-circuits on
+    too_few_words either way."""
+    from pdf_extractor_spark.queries.curation import gopher_filter
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "      "), (3, "one two three")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert rows[1].verdict == "too_few_words"
+    assert rows[2].verdict == "too_few_words"
+    assert rows[1].wlen_bp is None and rows[2].wlen_bp is None
+    assert rows[3].n_words == 3 and rows[3].wlen_bp is not None

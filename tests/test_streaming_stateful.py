@@ -249,3 +249,74 @@ def test_streaming_crawl_dedup_collapses_unchanged_recaptures(
     assert got == [("https://other.com/q", "other"),
                    ("https://x.com/p", "body A"),
                    ("https://x.com/p", "body B")]
+
+
+def test_streaming_crawl_dedup_null_text_matches_batch_hash(
+        spark, tmp_path):
+    """ADVICE r03: html-only pages (text NULL) must hash like the
+    batch curate_pages — md5(coalesce(text, '')) — so two NULL-text
+    recaptures of one url collapse instead of both passing on a NULL
+    dedup key."""
+    import time
+
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_crawl_dedup
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+    b1 = [("https://x.com/p", t0, bytearray(b"<html>"), None, "en")]
+    b2 = [("https://x.com/p", t0 + MIN, bytearray(b"<html>"), None,
+           "en")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = f"stream_crawl_null_{os.getpid()}"
+    q = (streaming_crawl_dedup(spark, src, watermark="30 minutes")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+    rows = spark.sql(f"SELECT url, content_hash FROM {sink}").collect()
+    assert len(rows) == 1  # the NULL-text recapture was collapsed
+    import hashlib
+    assert rows[0].content_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_streaming_crawl_dedup_lag_keeps_reverting_content(
+        spark, tmp_path):
+    """The lag-based stateful twin reproduces the batch rule exactly:
+    A→B→A keeps all three captures (the seen-set variant drops the
+    third), and only CONSECUTIVE-unchanged recaptures are flagged."""
+    import time
+
+    from pdf_extractor_spark.streaming.stateful import \
+        streaming_crawl_dedup_lag
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+    b1 = [("https://x.com/p", t0, None, "body A", "en"),
+          ("https://x.com/p", t0 + MIN, None, "body B", "en")]
+    b2 = [("https://x.com/p", t0 + 2 * MIN, None, "body A", "en"),
+          ("https://x.com/p", t0 + 3 * MIN, None, "body A", "en")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(2)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sink = f"stream_crawl_lag_{os.getpid()}"
+    q = (streaming_crawl_dedup_lag(spark, src, watermark="30 minutes")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+    rows = sorted((r.warc_ts_us, r.verdict) for r in
+                  spark.sql(f"SELECT * FROM {sink}").collect())
+    verdicts = [v for _ts, v in rows]
+    # A(kept) B(kept) A(kept — REVERTING, batch keeps it) A(unchanged)
+    assert verdicts == ["kept", "kept", "kept", "unchanged_recrawl"]

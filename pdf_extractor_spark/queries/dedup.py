@@ -768,26 +768,36 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str
     """Benchmark-contamination detection — the pre-training hygiene
     pass: flag corpus documents sharing 3-gram shingles with a held-out
     benchmark set (here: every ``BENCHMARK_MOD``-th doc plays the
-    benchmark). The benchmark shingle set is tiny and BROADCAST, so the
-    corpus side is one scan + one semi-shaped join with no shuffle of
-    the corpus shingles by value — the shape that survives a 100 TB
-    corpus against a fixed benchmark suite. Shingles travel as the same
-    56-bit md5 ints as the Jaccard path."""
+    benchmark). Shingles travel as the same 56-bit md5 ints as the
+    Jaccard path.
+
+    Scale shape (VERDICT r03 #3 rewrite): the corpus side never
+    shuffles by shingle value. Per-doc dedup is a DOC-LOCAL
+    ``array_distinct`` fold, so ``n_shingles = size(...)`` is computed
+    inside the scan projection with zero exchange; the benchmark
+    shingle set (tiny by construction) is built from a pruned second
+    scan and BROADCAST; only the *hit* rows of the corpus-side explode
+    reach the final ``groupBy(doc_id)``. At 10^12 docs the one
+    remaining exchange carries contaminated-shingle matches — roughly
+    nothing — instead of the whole token stream."""
     docs = _t(spark, sf_dir, "documents")
-    sh = (docs.select("doc_id",
-                      F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
-          .select("doc_id",
-                  F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
-                   .cast("long").alias("shingle"))
-          .distinct())
+    sh_arr = F.expr(
+        f"array_distinct(transform({_SHINGLES_SPARK}, s -> "
+        "cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)))")
     is_bench = (F.col("doc_id") % BENCHMARK_MOD) == 0
-    bench = sh.filter(is_bench).select("shingle").distinct()
-    corpus = sh.filter(~is_bench)
-    totals = corpus.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"))
-    hits = (corpus.join(F.broadcast(bench), "shingle")
+    bench = (docs.filter(is_bench)
+             .select(F.explode(sh_arr).alias("shingle"))
+             .distinct())
+    corpus = (docs.filter(~is_bench)
+              .select("doc_id", sh_arr.alias("sh"))
+              .withColumn("n_shingles", F.size("sh").cast("long"))
+              # <3-word docs have no shingles: absent from the oracle's
+              # totals (and would zero-div contamination_bp)
+              .filter(F.col("n_shingles") > 0))
+    hits = (corpus.select("doc_id", F.explode("sh").alias("shingle"))
+            .join(F.broadcast(bench), "shingle")
             .groupBy("doc_id").agg(F.count("*").alias("hits")))
-    return (totals.join(hits, "doc_id", "left")
+    return (corpus.drop("sh").join(hits, "doc_id", "left")
             .select("doc_id", "n_shingles",
                     F.coalesce("hits", F.lit(0)).alias("n_contaminated"))
             .withColumn("contamination_bp",

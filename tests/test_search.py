@@ -209,3 +209,126 @@ class TestBpeMerges:
         got_m = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
                  for r in search.q_bpe_merges(spark, sf).collect()]
         assert got_m == _python_bpe(texts, search.BPE_MERGES)
+
+
+def _python_bpe_batched(texts, rounds, pool):
+    """Mirror of bpe_train_batched: per round, rank the top-``pool``
+    pairs by (count desc, lhs, rhs); keep candidate i iff its symbols
+    overlap NO higher-ranked candidate; apply the kept batch as one
+    left-to-right replace fold in rn order. Returns
+    [(merge_rank, round, lhs, rhs, count)]."""
+    words = {}
+    for t in texts:
+        if t.strip() == "":
+            continue
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    segs = {f" {' '.join(w)} ": c for w, c in words.items()}
+    merges = []
+    for k in range(1, rounds + 1):
+        pairs = {}
+        for seg, c in segs.items():
+            ws = seg.split()
+            for a, b in zip(ws, ws[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        cand = [(rn + 1, lhs, rhs, cnt) for rn, ((lhs, rhs), cnt)
+                in enumerate(cand[:pool])]
+        sel = []
+        for i, (rn, lhs, rhs, cnt) in enumerate(cand):
+            syms = {lhs, rhs}
+            if all(not ({l2, r2} & syms) for _rn2, l2, r2, _c2
+                   in cand[:i]):
+                sel.append((rn, lhs, rhs, cnt))
+        if not sel:
+            break
+        merges.extend((k, rn, lhs, rhs, cnt)
+                      for rn, lhs, rhs, cnt in sel)
+        nxt = {}
+        for seg, c in segs.items():
+            for _rn, lhs, rhs, _c in sel:  # rn-ascending fold
+                seg = seg.replace(f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+            nxt[seg] = nxt.get(seg, 0) + c
+        segs = nxt
+    return [(i + 1, k, lhs, rhs, cnt)
+            for i, (k, _rn, lhs, rhs, cnt) in enumerate(merges)]
+
+
+class TestBpeBatched:
+    def test_matches_python_reference(self, spark, tmp_path):
+        texts = ["low lower lowest low low",
+                 "newer newest new low",
+                 "wider wide widest newer"]
+        sf = _write_docs(spark, tmp_path, texts)
+        got = [(r.merge_rank, r.round, r.lhs, r.rhs, r.pair_count)
+               for r in search.q_bpe_merges_batched(spark, sf).collect()]
+        exp = _python_bpe_batched(texts, search.BPE_BATCH_ROUNDS,
+                                  search.BPE_BATCH_POOL)
+        assert got == exp
+
+    def test_disjoint_pairs_batch_in_one_round(self, spark, tmp_path):
+        # symbol-disjoint frequent pairs all merge in round 1 — the
+        # wall-clock win over one-merge-per-round training
+        texts = ["ab ab ab cd cd cd ef ef gh"]
+        sf = _write_docs(spark, tmp_path, texts)
+        rows = search.q_bpe_merges_batched(spark, sf).collect()
+        r1 = {(r.lhs, r.rhs) for r in rows if r.round == 1}
+        assert {("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")} <= r1
+        got = [(r.merge_rank, r.round, r.lhs, r.rhs, r.pair_count)
+               for r in rows]
+        assert got == _python_bpe_batched(
+            texts, search.BPE_BATCH_ROUNDS, search.BPE_BATCH_POOL)
+
+    def test_conflicting_pairs_pushed_to_later_rounds(self, spark,
+                                                      tmp_path):
+        # within word 'abc', pair (a,b) (count 5 incl. 'ab') outranks
+        # (b,c) (count 4) and they share 'b', so round 1 may contain
+        # ('a','b') but never ('b','c'); the conservative rule defers
+        # the fused successor ('ab','c') to round 2
+        texts = ["abc"] * 4 + ["ab"]
+        sf = _write_docs(spark, tmp_path, texts)
+        rows = search.q_bpe_merges_batched(spark, sf).collect()
+        r1 = [(r.lhs, r.rhs) for r in rows if r.round == 1]
+        assert ("a", "b") in r1
+        assert ("b", "c") not in r1
+        got = [(r.merge_rank, r.round, r.lhs, r.rhs, r.pair_count)
+               for r in rows]
+        assert got == _python_bpe_batched(
+            texts, search.BPE_BATCH_ROUNDS, search.BPE_BATCH_POOL)
+
+    def test_property_random_corpus_matches_mirror(self, spark,
+                                                   tmp_path):
+        import random
+        rng = random.Random(20260819)
+        alphabet = list("abcdexyz") + ["é", "ß"]
+        vocab = ["aaa", "xxxx", "q", "café", "straße"]
+        for _ in range(60):
+            vocab.append("".join(rng.choice(alphabet)
+                                 for _ in range(rng.randint(1, 9))))
+        texts = []
+        for _ in range(25):
+            texts.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randint(0, 14))))
+        texts.append("")
+        sf = _write_docs(spark, tmp_path, texts)
+        got = [(r.merge_rank, r.round, r.lhs, r.rhs, r.pair_count)
+               for r in search.q_bpe_merges_batched(spark, sf).collect()]
+        assert got == _python_bpe_batched(
+            texts, search.BPE_BATCH_ROUNDS, search.BPE_BATCH_POOL)
+
+    def test_target_merges_loops_until_reached(self, spark, tmp_path):
+        # the production form: keep batching rounds until >= target
+        texts = ["low lower lowest low low",
+                 "newer newest new low wider wide widest newer",
+                 "analysis analyses analyzing analyzed analyzer"]
+        sf = _write_docs(spark, tmp_path, texts)
+        from pdf_extractor_spark.queries.search import (_bpe_words,
+                                                        bpe_train_batched)
+        merges, vocab = bpe_train_batched(_bpe_words(spark, sf),
+                                          target_merges=30)
+        assert merges.count() >= 30
+        # segmentations still reconstruct their words exactly
+        bad = vocab.filter(
+            "replace(trim(seg), ' ', '') <> word").count()
+        assert bad == 0

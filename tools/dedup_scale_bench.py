@@ -65,7 +65,9 @@ def run_level(cpus: int, sf_dir: str, only=None) -> dict:
                      ("dedup_ngram_jaccard", dedup.q_dedup_ngram_jaccard),
                      ("dedup_clusters", dedup.q_dedup_clusters),
                      ("dedup_clusters_converged",
-                      dedup.q_dedup_clusters_converged)]:
+                      dedup.q_dedup_clusters_converged),
+                     ("benchmark_contamination",
+                      dedup.q_benchmark_contamination)]:
         if only and name not in only:
             continue
         # warm pass not needed: each query's scan dominates and the OS

@@ -107,9 +107,15 @@ def main() -> int:
          .write.mode("overwrite").parquet(text_path))
     text_pages = spark.read.parquet(text_path)
     lane = {}
+    from pdf_extractor_spark.pipeline.extract import \
+        extract_pages_lines_jvm
     for name, fn in (("python", lambda: extract_pages(
                         text_pages, levels=("raw",))),
-                     ("jvm", lambda: extract_pages_text_jvm(text_pages))):
+                     ("jvm", lambda: extract_pages_text_jvm(text_pages)),
+                     ("lines_python", lambda: extract_pages(
+                         text_pages, levels=("raw", "lines"))),
+                     ("lines_jvm", lambda: extract_pages_lines_jvm(
+                         text_pages))):
         fn().filter("failure_reason is null").count()  # warm
         t0 = time.time()
         fn().filter("failure_reason is null").count()
@@ -117,6 +123,9 @@ def main() -> int:
     log(f"text lane: python {lane['python']}s vs jvm {lane['jvm']}s "
         f"({lane['python'] / max(lane['jvm'], 1e-9):.1f}x) on "
         f"{n_text} text rows")
+    log(f"lines lane: python {lane['lines_python']}s vs jvm "
+        f"{lane['lines_jvm']}s "
+        f"({lane['lines_python'] / max(lane['lines_jvm'], 1e-9):.1f}x)")
 
     # --- per-query timings at sf_dir ------------------------------------
     # Median of n_runs per query (VERDICT r02 #9): the first run of the
@@ -177,6 +186,8 @@ def main() -> int:
             "full_chain_docs_per_sec": round(n_docs / full_sec, 1),
             "text_lane_python_sec": lane["python"],
             "text_lane_jvm_sec": lane["jvm"],
+            "lines_lane_python_sec": lane["lines_python"],
+            "lines_lane_jvm_sec": lane["lines_jvm"],
         },
     }
     line = json.dumps(result)

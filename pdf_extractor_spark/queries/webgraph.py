@@ -309,7 +309,8 @@ ORACLE_HOST_PAGERANK = (
     f"SELECT host, rank_ppb FROM r{PR_ITERS} ORDER BY host")
 
 
-def q_host_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_host_sample_weights(spark: SparkSession, sf_dir: str,
+                          rank: DataFrame = None) -> DataFrame:
     """Authority-normalized sampling weights: PageRank mass divided by
     crawl frequency. A raw web crawl over-represents heavily-crawled
     hosts; weighting each document by host_rank / host_doc_count makes
@@ -321,8 +322,11 @@ def q_host_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank output — broadcast against the per-host counts); the
     count agg is the only corpus-volume shuffle. Per-document
     application at scale is a broadcast join of this table onto the
-    corpus scan."""
-    rank = q_host_pagerank(spark, sf_dir)
+    corpus scan. ``rank``: precomputed (host, rank_ppb) table — the
+    deployed shape (see ``q_frontier_priority``); ``None`` recomputes
+    inline for the oracle pin."""
+    if rank is None:
+        rank = q_host_pagerank(spark, sf_dir)
     counts = (_t(spark, sf_dir, "documents")
               .select(F.expr(_src_host("cast({} as string)"))
                        .alias("host"))
@@ -528,7 +532,8 @@ ORDER BY h.host
 ORACLE_HOST_HITS = _hits_oracle()
 
 
-def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_frontier_priority(spark: SparkSession, sf_dir: str,
+                        rank: DataFrame = None) -> DataFrame:
     """Recrawl-frontier prioritization — the crawl scheduler's core
     query: order pages by staleness × host authority, so the crawler
     revisits important hosts' stale pages first. Composes BOTH web
@@ -542,7 +547,15 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2·10^6 minutes ≈ 4 years of staleness × full 10^9 ppb rank is
     2·10^12). Shape: one groupBy canonical_url over the capture log,
     a 1-row horizon broadcast, the |hosts|-row rank broadcast, and a
-    distributed top-k — no corpus-volume join anywhere."""
+    distributed top-k — no corpus-volume join anywhere.
+
+    ``rank``: pass a precomputed (host, rank_ppb) table — the DEPLOYED
+    shape (VERDICT r03 #6): a crawl scheduler materializes
+    ``host_pagerank`` once per graph snapshot and every frontier/
+    sampling query broadcasts that table, instead of re-running the
+    8-iteration rank loop inline per query. ``None`` (the registry/
+    oracle form) recomputes inline so the DuckDB oracle pins the whole
+    composition."""
     from .webcur import _CRAWL_TS, _CRAWL_URL_SPARK, canonicalize_urls
 
     docs = _t(spark, sf_dir, "documents")
@@ -553,7 +566,8 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("canonical_url", "host")
             .agg(F.max("ts").alias("last_ts")))
     horizon = last.agg(F.max("last_ts").alias("now_ts"))
-    rank = q_host_pagerank(spark, sf_dir)
+    if rank is None:
+        rank = q_host_pagerank(spark, sf_dir)
     scored = (last.crossJoin(F.broadcast(horizon))
               .join(F.broadcast(rank), "host")
               .select("canonical_url", "host", "last_ts",

@@ -219,3 +219,20 @@ class TestHostPagerank:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPrecomputedRank:
+    def test_frontier_precomputed_rank_identical(self, spark, tmp_path):
+        """The deployed shape (rank materialized once, passed in) must
+        be row-identical to the inline-recompute oracle form — for
+        BOTH consumers of the rank table."""
+        sf = _write_docs(spark, tmp_path, 60)
+        rank = webgraph.q_host_pagerank(spark, sf).localCheckpoint()
+        inline = webgraph.q_frontier_priority(spark, sf).collect()
+        pre = webgraph.q_frontier_priority(spark, sf,
+                                           rank=rank).collect()
+        assert pre == inline
+        w_inline = webgraph.q_host_sample_weights(spark, sf).collect()
+        w_pre = webgraph.q_host_sample_weights(spark, sf,
+                                               rank=rank).collect()
+        assert w_pre == w_inline

@@ -68,6 +68,22 @@ def run_level(cpus: int, sf_dir: str, only=None, sites=None,
                       extra={"spark.ui.showConsoleProgress": "false"})
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
     out = {}
+
+    rank_df = None
+    if only is None or "frontier_priority_precomputed" in only \
+            or "host_sample_weights_precomputed" in only:
+        # the deployed shape (VERDICT r03 #6): PageRank materialized
+        # ONCE per graph snapshot; consumers broadcast the table. The
+        # materialization is deliberately outside every timed window —
+        # that is the point being measured.
+        rank_path = (f"/tmp/webgraph_rank_"
+                     f"{os.path.basename(sf_dir.rstrip('/'))}"
+                     f"_{webgraph.N_SITES}")
+        if not os.path.exists(rank_path):
+            webgraph.q_host_pagerank(spark, sf_dir) \
+                .write.mode("overwrite").parquet(rank_path)
+        rank_df = spark.read.parquet(rank_path)
+
     jobs = [
         ("outlinks",
          lambda: webgraph.q_outlinks(spark, sf_dir).agg(
@@ -98,6 +114,18 @@ def run_level(cpus: int, sf_dir: str, only=None, sites=None,
              F.count("*").alias("n"),
              F.bit_xor(F.xxhash64("canonical_url",
                                   "priority", "rk")).alias("ck"))),
+        ("frontier_priority_precomputed",
+         lambda: webgraph.q_frontier_priority(
+             spark, sf_dir, rank=rank_df).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("canonical_url",
+                                  "priority", "rk")).alias("ck"))),
+        ("host_sample_weights_precomputed",
+         lambda: webgraph.q_host_sample_weights(
+             spark, sf_dir, rank=rank_df).agg(
+             F.count("*").alias("n"),
+             F.bit_xor(F.xxhash64("host", "per_doc_weight_ppb"))
+             .alias("ck"))),
         ("bm25_topk",
          lambda: search.q_bm25_topk(spark, sf_dir).agg(
              F.count("*").alias("n"),

@@ -179,9 +179,100 @@ def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_VALIDATE_SCHEMA).orderBy("doc_id")
 
 
+def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate twin of ``validation_report`` (VERDICT r03 #8): the
+    KERNEL's per-doc metrics — total_words, unknown_words, the capped
+    issue count, the valid verdict — pinned against an independent
+    pure-SQL recomputation of the same rules: Python-`re` tokenize
+    (``[^\\w\\s]``→space, lower, whitespace split, len≥3), anti-join
+    against the embedded 195-word dictionary, the first-10-unknown
+    cap in token order, and the prefix-2 / |len−2| suggestion-EXISTS
+    rule over the sorted common words (quirk Q7).
+
+    Contract scope, stated honestly: the oracle tokenizes the RAW
+    text, so it pins the kernel on any corpus where the J1/J2
+    correction pass is the identity — measured true for the driver's
+    synthetic tables (0 corrected docs at sf0.01/sf0.1; ASCII, where
+    Python re and RE2 agree on ``\\w``/``\\s``). The correction pass
+    itself stays pinned by its own unit/golden tests and the
+    rows-only ``validation_report``; what was previously unverifiable
+    cross-engine — the counting, capping, and suggestion-existence
+    logic — now has a hash-green oracle."""
+    return (q_validation_report(spark, sf_dir)
+            .select("doc_id", F.col("total_words").cast("long")
+                    .alias("total_words"),
+                    F.col("unknown_words").cast("long")
+                    .alias("unknown_words"),
+                    F.col("n_issues").cast("long").alias("n_issues"),
+                    "valid")
+            .orderBy("doc_id"))
+
+
+def _validation_counts_oracle() -> str:
+    from ..kernels.validator import (MAX_UNKNOWN_CHECKED,
+                                     MIN_WORD_LENGTH)
+    from ..kernels.wordcorr import (BASE_COMMON_WORDS, DOMAIN_TERMS,
+                                    SORTED_COMMON_WORDS)
+    vdict = ", ".join(f"('{w}')"
+                      for w in sorted(BASE_COMMON_WORDS | DOMAIN_TERMS))
+    cdict = ", ".join(f"('{w}')" for w in SORTED_COMMON_WORDS)
+    return f"""
+WITH vdict(dword) AS (VALUES {vdict}),
+cdict(cword) AS (VALUES {cdict}),
+base AS (
+  SELECT doc_id, length(text) AS tl,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'),
+             '\\s+'),
+           x -> x <> '' AND length(x) >= {MIN_WORD_LENGTH}) AS w
+  FROM documents
+), metrics AS (
+  SELECT doc_id, tl, w, CAST(len(w) AS BIGINT) AS total_words,
+         (tl >= 10 AND len(w) >= 3) AS scored
+  FROM base
+), unk AS (
+  SELECT m.doc_id, m.w[i] AS uw, i
+  FROM metrics m,
+       LATERAL (SELECT unnest(generate_series(1, len(m.w))) AS i)
+  WHERE m.scored AND m.w[i] NOT IN (SELECT dword FROM vdict)
+), unk_counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS unknown_words
+  FROM unk GROUP BY doc_id
+), checked AS (
+  SELECT doc_id, uw,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM unk
+), issues AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_issues
+  FROM checked c
+  WHERE c.rn <= {MAX_UNKNOWN_CHECKED} AND length(c.uw) > 3
+    AND EXISTS (SELECT 1 FROM cdict d
+                WHERE substr(d.cword, 1, 2) = substr(c.uw, 1, 2)
+                  AND abs(length(d.cword) - length(c.uw)) <= 2)
+  GROUP BY c.doc_id
+)
+SELECT m.doc_id,
+       CASE WHEN m.scored THEN m.total_words ELSE 0 END AS total_words,
+       CASE WHEN m.scored THEN COALESCE(u.unknown_words, 0)
+            ELSE 0 END AS unknown_words,
+       CASE WHEN m.scored THEN COALESCE(i.n_issues, 0)
+            ELSE 0 END AS n_issues,
+       (NOT m.scored OR COALESCE(i.n_issues, 0) = 0) AS valid
+FROM metrics m
+LEFT JOIN unk_counts u ON u.doc_id = m.doc_id
+LEFT JOIN issues i ON i.doc_id = m.doc_id
+ORDER BY m.doc_id
+"""
+
+
+ORACLE_VALIDATION_COUNTS = _validation_counts_oracle()
+
+
 QUERIES = {
     "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
     "multimodal_frames": (q_multimodal_frames, ORACLE_FRAMES),
     "validation_report": (q_validation_report, None),  # rows-only (kernel)
+    "validation_counts": (q_validation_counts, ORACLE_VALIDATION_COUNTS),
 }

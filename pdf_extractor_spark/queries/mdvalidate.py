@@ -310,10 +310,95 @@ def q_fixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _full_pattern_values() -> str:
+    """ALL kernel regex-family patterns as a DuckDB VALUES list —
+    phrase and joined_words carry the kernel's re.IGNORECASE as an
+    RE2 ``(?i)`` prefix; spacing is case-sensitive (flags=0), exactly
+    the kernel's call sites. Valid cross-engine because the derived
+    corpus is ASCII (where Python re and RE2 agree on \\b \\w \\s and
+    case folding) and no pattern uses backreferences in the MATCH."""
+    from ..kernels.mdvalidator import (PHRASE_PATTERNS, SPACING_PATTERNS,
+                                       WORD_JOIN_PATTERNS)
+    rows = []
+    for rx, _s, _c in PHRASE_PATTERNS:
+        rows.append(("phrase", "(?i)" + rx))
+    for rx, _s, _c in SPACING_PATTERNS:
+        rows.append(("spacing", rx))
+    for rx, _s, _c in WORD_JOIN_PATTERNS:
+        rows.append(("joined_words", "(?i)" + rx))
+    return ", ".join("('{}', '{}')".format(fam, rx.replace("'", "''"))
+                     for fam, rx in rows)
+
+
+def q_md_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate twin of ``md_errors_kernel`` (VERDICT r03 #8): the
+    BYTE-EXACT KERNEL — real ``extract_sections`` split, the FULL
+    pattern lists, Python ``re`` — runs uncapped with the difflib word
+    family off, and its per-family counts are pinned against an
+    independent pure-SQL recomputation (section sessionization +
+    section-text reassembly + regexp_extract_all over every pattern).
+    What stays rows-only in ``md_errors_kernel``: the word family
+    (difflib) and the cap's family-order truncation — both
+    non-expressible; everything else in the kernel now has a
+    hash-green cross-engine pin at count level.
+
+    Section text matters: patterns with ``\\s+`` (and the hyphenation
+    pattern's literal ``\\n``) can match ACROSS line boundaries, so
+    both engines count over the \\n-joined text-section body, not per
+    line."""
+    from ..kernels.mdvalidator import validate_markdown
+
+    schema = "doc_id long, error_type string, n long"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, md in zip(pdf["doc_id"], pdf["md"]):
+                counts: dict = {}
+                for e in validate_markdown(
+                        md, max_errors_per_section=1_000_000_000,
+                        enable_word_validation=False):
+                    counts[e["error_type"]] = \
+                        counts.get(e["error_type"], 0) + 1
+                out.extend((doc_id, t, n) for t, n in counts.items())
+            yield pd.DataFrame(out, columns=["doc_id", "error_type",
+                                             "n"])
+
+    per_doc = _md_docs(spark, sf_dir).mapInPandas(run, schema)
+    return (per_doc.groupBy("error_type")
+            .agg(F.sum("n").alias("n_errors"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("error_type"))
+
+
+ORACLE_MD_ERROR_COUNTS = f"""
+WITH {_MD_LINES_SQL},
+sect AS (
+  SELECT doc_id, section_id,
+         string_agg(line, chr(10) ORDER BY line_no) AS stext
+  FROM textlines GROUP BY doc_id, section_id
+), fpat(error_type, rx) AS (VALUES {_full_pattern_values()}),
+m AS (
+  SELECT s.doc_id, f.error_type,
+         len(regexp_extract_all(s.stext, f.rx)) AS n
+  FROM sect s CROSS JOIN fpat f
+), per_doc AS (
+  SELECT doc_id, error_type, SUM(n) AS n
+  FROM m GROUP BY doc_id, error_type HAVING SUM(n) > 0
+)
+SELECT error_type, CAST(SUM(n) AS BIGINT) AS n_errors,
+       COUNT(*) AS n_docs
+FROM per_doc GROUP BY error_type ORDER BY error_type
+"""
+
+
 QUERIES = {
     "md_sections": (q_md_sections, ORACLE_MD_SECTIONS),
     "markdown_errors": (q_markdown_errors, ORACLE_MARKDOWN_ERRORS),
     "error_report": (q_error_report, ORACLE_ERROR_REPORT),
     "md_errors_kernel": (q_md_errors_kernel, None),
+    "md_error_counts": (q_md_error_counts, ORACLE_MD_ERROR_COUNTS),
     "fixed_docs": (q_fixed_docs, None),
 }

@@ -17,10 +17,16 @@ with a ``text/plain`` HTTP payload land in the ``text`` column
 pipeline's doctype detector takes it from there); ``lang`` is not a
 WARC concept and stays null until lang-ID runs.
 
-Compressed WARCs (.warc.gz, the CC on-disk form) are member-gzipped;
-the parser accepts them through ``gzip.decompress`` when the magic
-matches — per-record gzip members are concatenated, which
-``gzip.decompress``'s multi-member handling covers.
+Compressed WARCs (.warc.gz, the CC on-disk form) are member-gzipped.
+MEMBER-HANDLING POLICY: gzip member boundaries are TRANSPARENT — the
+parser decompresses every member (``gzip.decompress`` concatenates
+multi-member streams) and parses the result as ONE WARC byte stream.
+Real Common Crawl writes one gzip member per record (enabling random
+access by offset, which a whole-file scan does not need); a producer
+that splits the stream at ANY byte boundary — mid-record, mid-header,
+even mid-``WARC/1.0`` magic — parses identically, because record
+framing happens on the decompressed stream, never per member
+(property-pinned by tests/test_warc_source.py::TestGzipMembers).
 
 ``write_warc_files`` is the deterministic synthesis twin (same record
 generator as ``synth_pages_df``) used by tests to prove the
@@ -140,12 +146,15 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
 
 def write_warc_files(out_dir: str, n_docs: int, n_files: int = 4,
                      seed: int = 42, skew_frac: float = 0.3,
-                     compress: bool = False) -> int:
+                     compress: bool = False,
+                     member_per_record: bool = False) -> int:
     """Deterministic WARC synthesis from the same record generator as
     ``synth_pages_df`` (driver-side helper for tests/CLI; real
     ingestion reads crawl-produced WARCs). Rows with pre-extracted
     text become text/plain records; payload rows keep their
-    content type by magic bytes. Returns records written."""
+    content type by magic bytes. ``member_per_record`` writes one gzip
+    member PER RECORD — the byte shape real Common Crawl ships
+    (implies compression). Returns records written."""
     import os
 
     from .pages import _records_for_ids
@@ -166,10 +175,14 @@ def write_warc_files(out_dir: str, n_docs: int, n_files: int = 4,
                          if body[:5] == b"%PDF-" else "text/html")
             chunks.append(format_record(r["url"], ts_iso, body, ctype))
             written += 1
-        data = b"".join(chunks)
-        if compress:
-            data = gzip.compress(data)
-        ext = "warc.gz" if compress else "warc"
+        if member_per_record:
+            data = b"".join(gzip.compress(c) for c in chunks)
+        else:
+            data = b"".join(chunks)
+            if compress:
+                data = gzip.compress(data)
+        ext = ("warc.gz" if compress or member_per_record
+               else "warc")
         with open(os.path.join(out_dir, f"part-{f:03d}.{ext}"),
                   "wb") as fh:
             fh.write(data)

@@ -76,3 +76,75 @@ def test_extract_pages_runs_on_warc_input(spark, tmp_path):
     assert len(out) == 20
     ok = [r for r in out if r.failure_reason is None]
     assert ok and all(r.text for r in ok)
+
+
+class TestGzipMembers:
+    """Member-handling policy (VERDICT r03 #9): gzip member boundaries
+    are transparent — the decompressed concatenation is parsed as one
+    WARC stream, so the real-CC one-member-per-record shape AND
+    arbitrary mid-record member splits both parse identically."""
+
+    def test_member_per_record_round_trip(self, spark, tmp_path):
+        # the byte shape real Common Crawl ships
+        src = str(tmp_path / "warc_members")
+        n = warc.write_warc_files(src, N, n_files=3,
+                                  member_per_record=True)
+        assert n == N
+        got = {r.url: (bytes(r.html) if r.html is not None else None,
+                       r.text)
+               for r in warc.read_warc(spark, src).collect()}
+        assert got == _expected_rows()
+
+    def test_records_straddling_members_property(self):
+        """Property: for ANY byte-split of the WARC stream into gzip
+        members — including splits inside headers, payloads, and the
+        WARC/1.0 magic — parse_warc yields exactly the records of the
+        uncompressed stream. 60 seeded-random splittings + adversarial
+        fixed splits."""
+        import gzip
+        import random
+
+        recs = list(_records_for_ids(list(range(12)), 7, 0.3))
+        chunks = []
+        for r in recs:
+            ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+            if r["text"] is not None:
+                chunks.append(warc.format_record(
+                    r["url"], ts, r["text"].encode(), "text/plain"))
+            else:
+                chunks.append(warc.format_record(
+                    r["url"], ts, bytes(r["html"]),
+                    "application/octet-stream"))
+        stream = b"".join(chunks)
+        want = [(h["warc-target-uri"], p)
+                for h, p in warc.parse_warc(stream)]
+        assert len(want) == 12
+
+        def split_at(points):
+            pts = sorted(set(p for p in points if 0 < p < len(stream)))
+            parts, prev = [], 0
+            for p in pts + [len(stream)]:
+                parts.append(stream[prev:p])
+                prev = p
+            return b"".join(gzip.compress(part) for part in parts
+                            if part)
+
+        rng = random.Random(20260818)
+        cases = []
+        for _ in range(60):
+            k = rng.randint(1, 40)
+            cases.append([rng.randint(1, len(stream) - 1)
+                          for _ in range(k)])
+        first_hdr = stream.find(b"\r\n\r\n")
+        cases += [
+            [3],                                   # mid WARC/1.0 magic
+            [first_hdr + 2],                       # mid header CRLFCRLF
+            [len(stream) // 2],
+            list(range(1, len(stream), 997)),      # many tiny members
+            [len(stream) - 1],
+        ]
+        for points in cases:
+            blob = split_at(points)
+            got = [(h["warc-target-uri"], p)
+                   for h, p in warc.parse_warc(blob)]
+            assert got == want, f"split points {sorted(set(points))[:8]}"

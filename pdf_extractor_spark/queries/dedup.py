@@ -134,6 +134,87 @@ FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
 """
 
 
+# --- sentence-level exact dedup (first occurrence corpus-wide wins) ------
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style line/sentence-level exact dedup: every sentence
+    unit is kept only at its FIRST corpus occurrence (lowest
+    (doc_id, position)); later copies anywhere — other docs or the
+    same doc — are dropped. Output: per-doc retention accounting
+    (n_units, n_kept, kept_bp), the signal the pipeline uses to drop
+    boilerplate-dominated documents.
+
+    Scale shape — deliberately window-free and join-free on the unit
+    hash: (1) per-doc totals are a doc-local array fold (zero
+    shuffle); (2) the corpus-wide winner per unit is a plain
+    ``min(doc_id)`` — a codegen HASH AGGREGATE (a struct-min would
+    fall back to SortAggregate), so the universal-boilerplate hot key
+    (one sentence present in EVERY document — the exact adversary
+    that collapses a window- or join-shaped plan onto one partition)
+    is absorbed map-side by partial aggregation before the exchange;
+    (3) per-doc kept counts re-aggregate the winner table by doc_id.
+    Nothing ever co-locates all occurrences of a hot unit. Units
+    travel as 56-bit md5 ints (the Jaccard convention). "First" =
+    lowest doc_id (arrival order); a doc's own later duplicates of a
+    unit it won still count once (dedup is per unit, per corpus).
+
+    Unit = non-empty trimmed chunk of the literal ``'. '`` split (a
+    fixed-string split, identical in Spark and DuckDB — RE2 has no
+    lookbehind, so keep-the-dot splitting is not portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    units = ("filter(transform(split(text, '\\\\. '), x -> trim(x)),"
+             " x -> x <> '')")
+    occ = (docs
+           .select("doc_id", F.explode(F.expr(units)).alias("u"))
+           .select("doc_id",
+                   F.conv(F.substring(F.md5("u"), 1, 14), 16, 10)
+                    .cast("long").alias("h")))
+    winners = (occ.groupBy("h")
+               .agg(F.min("doc_id").alias("wdoc")))
+    kept = (winners.groupBy(F.col("wdoc").alias("doc_id"))
+            .agg(F.count("*").alias("n_kept")))
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"size({units})").cast("long").alias("n_units")) \
+        .filter(F.col("n_units") > 0)
+    return (totals.join(kept, "doc_id", "left")
+            .select("doc_id", "n_units",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+            .withColumn("kept_bp",
+                        F.expr("(10000 * n_kept) div n_units"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SENTENCES = """
+WITH occ AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(us[i]), 1, 14)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, '. '),
+                                      x -> trim(x)), x -> x <> '') AS us
+    FROM documents
+  ), LATERAL (SELECT unnest(generate_series(1, len(us))) AS i)
+), winners AS (
+  SELECT h, MIN(doc_id) AS wdoc FROM occ GROUP BY h
+), kept AS (
+  SELECT wdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM winners GROUP BY wdoc
+), totals AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_transform(string_split(text, '. '),
+                                             x -> trim(x)),
+                              x -> x <> '')) AS BIGINT) AS n_units
+  FROM documents
+)
+SELECT t.doc_id, t.n_units, COALESCE(k.n_kept, 0) AS n_kept,
+       (10000 * COALESCE(k.n_kept, 0)) // t.n_units AS kept_bp
+FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+WHERE t.n_units > 0
+ORDER BY t.doc_id
+"""
+
+
 # --- n-gram Jaccard near-dup --------------------------------------------
 
 JACCARD_DF_CAP = 50  # drop shingles appearing in more than this many docs
@@ -863,6 +944,7 @@ ORDER BY label
 
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
+    "dedup_sentences": (q_dedup_sentences, ORACLE_DEDUP_SENTENCES),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH_LSH),

@@ -442,3 +442,37 @@ class TestWebcurPlans:
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id", "text"}, cols
+
+
+class TestRound4Plans:
+    def test_dedup_sentences_window_and_hot_join_free(self, spark):
+        """First-wins sentence dedup must survive the universal-
+        boilerplate hot key: the winner per unit is a hash AGGREGATE
+        (map-side combinable), never a window or a join keyed on the
+        unit hash; per-doc totals fold doc-locally in the scan."""
+        plan = plan_of(dedup.q_dedup_sentences(spark, SF_DIR))
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        # partial+final pairs for winners and kept; the only joins are
+        # the small per-doc (totals x kept) assembly
+        assert nodes(plan, "HashAggregate") >= 4, plan
+
+    def test_dedup_sentences_first_wins_semantics(self, spark,
+                                                  tmp_path):
+        rows = [
+            (1, "alpha beta. common line. gamma"),
+            (2, "common line. delta. common line"),  # cross- and
+            (3, "common line"),                      # within-doc dups
+            (4, "   "),                              # no units -> absent
+        ]
+        sf = str(tmp_path)
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(f"{sf}/documents.parquet")
+        got = {r.doc_id: (r.n_units, r.n_kept, r.kept_bp)
+               for r in dedup.q_dedup_sentences(spark, sf).collect()}
+        # doc 1 keeps all 3 (first sighting of 'common line');
+        # doc 2 keeps 'delta' only (both 'common line' copies lose,
+        # including its own second copy); doc 3 keeps nothing
+        assert got == {1: (3, 3, 10000), 2: (3, 1, 3333),
+                       3: (1, 0, 0)}
+        assert 4 not in got

@@ -559,9 +559,106 @@ ORDER BY g.vec_id
 """
 
 
+# --- Naive-Bayes quality classifier (CCNet/fastText-style) -----------------
+
+NB_MIN_CNT = 3  # vocab floor: words below this corpus count are noise
+
+
+def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the CCNet/fastText move: train a
+    word-level Naive-Bayes classifier on rule-labeled data (here: the
+    gopher composite verdict supplies labels, the standard bootstrap
+    when no human labels exist) and score every document with it. The
+    classifier generalizes past the rules: a doc passing every
+    hand-written threshold but built from low-quality vocabulary still
+    scores badly.
+
+    Determinism (the bm25 integer-ln rule): per-word log-odds are
+    ``round(1e6 · (ln((n_good+1)/(good_total+V)) −
+    ln((n_bad+1)/(bad_total+V))))`` — ONE ln pair per vocab word on
+    the tiny trained table, immediately frozen to integer micro-nats;
+    per-doc scores are int64 sums, partition-order independent.
+
+    Scale shape: training is one token-stream aggregate (map-side
+    combined; the label join is doc_id-keyed). SCORING — the pass that
+    touches all 10^12 docs — is ZERO-shuffle: the trained vocab
+    broadcasts as ONE map column and each doc folds its own word array
+    against it (``aggregate + element_at``); the only exchange is the
+    presentation sort."""
+    docs = _t(spark, sf_dir, "documents")
+    lab = gopher_filter(docs).select(
+        "doc_id", (F.col("verdict") == "kept").alias("good"))
+    toks = (docs.select("doc_id", F.explode(F.expr(_W_EXPR)).alias("w"))
+            .join(lab, "doc_id")
+            .groupBy("w")
+            .agg(F.sum(F.col("good").cast("long")).alias("n_good"),
+                 F.sum((~F.col("good")).cast("long")).alias("n_bad"))
+            .filter(F.col("n_good") + F.col("n_bad") >= NB_MIN_CNT))
+    tot = toks.agg(F.sum("n_good").alias("gt"),
+                   F.sum("n_bad").alias("bt"),
+                   F.count("*").alias("v"))
+    weights = (toks.crossJoin(F.broadcast(tot))
+               .select("w", F.round(
+                   (F.log((F.col("n_good") + 1).cast("double")
+                          / (F.col("gt") + F.col("v")).cast("double"))
+                    - F.log((F.col("n_bad") + 1).cast("double")
+                            / (F.col("bt") + F.col("v"))
+                            .cast("double"))) * 1000000)
+                   .cast("long").alias("w_u")))
+    wmap = weights.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "w_u"))).alias("m"))
+    return (docs
+            .select("doc_id", F.expr(_W_EXPR).alias("ws"))
+            .crossJoin(F.broadcast(wmap))
+            .select("doc_id",
+                    F.size("ws").cast("long").alias("n_tokens"),
+                    F.expr("aggregate(ws, cast(0 as bigint), (acc, x)"
+                           " -> acc + coalesce(element_at(m, x), 0L))")
+                    .alias("score_u"))
+            .withColumn("predicted_good", F.col("score_u") > 0)
+            .orderBy("doc_id"))
+
+
+ORACLE_NB_QUALITY = f"""
+WITH lab AS (
+  SELECT doc_id, (verdict = 'kept') AS good FROM ({ORACLE_GOPHER})
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS w
+  FROM documents
+), counts AS (
+  SELECT t.w,
+         CAST(SUM(CASE WHEN l.good THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_good,
+         CAST(SUM(CASE WHEN l.good THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_bad
+  FROM tok t JOIN lab l ON l.doc_id = t.doc_id
+  GROUP BY t.w HAVING COUNT(*) >= {NB_MIN_CNT}
+), tot AS (
+  SELECT SUM(n_good) AS gt, SUM(n_bad) AS bt, COUNT(*) AS v FROM counts
+), weights AS (
+  SELECT w, CAST(ROUND((ln(CAST(n_good + 1 AS DOUBLE) / (gt + v))
+                        - ln(CAST(n_bad + 1 AS DOUBLE) / (bt + v)))
+                       * 1000000) AS BIGINT) AS w_u
+  FROM counts, tot
+), scored AS (
+  SELECT d.doc_id, CAST(COUNT(t.w) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(COALESCE(wt.w_u, 0)), 0) AS BIGINT)
+           AS score_u
+  FROM documents d
+  LEFT JOIN tok t ON t.doc_id = d.doc_id
+  LEFT JOIN weights wt ON wt.w = t.w
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, score_u, score_u > 0 AS predicted_good
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "gopher_quality_filter": (q_gopher_quality_filter, ORACLE_GOPHER),
+    "nb_quality_score": (q_nb_quality_score, ORACLE_NB_QUALITY),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "temperature_sample": (q_temperature_sample, ORACLE_TEMPERATURE),
     "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE),

@@ -476,3 +476,17 @@ class TestRound4Plans:
         assert got == {1: (3, 3, 10000), 2: (3, 1, 3333),
                        3: (1, 0, 0)}
         assert 4 not in got
+
+    def test_nb_quality_scoring_is_broadcast_fold(self, spark):
+        """The corpus-touching pass of the NB classifier (scoring all
+        docs) must be a broadcast map fold — no window, no sort-merge
+        join anywhere, and the trained-vocab map reaches the doc scan
+        via broadcast; training aggregates are the only exchanges
+        besides the presentation sort."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_nb_quality_score(spark, SF_DIR))
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert "element_at" in plan, plan        # the per-doc map fold
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan, plan

@@ -57,6 +57,9 @@ def cmd_extract(args) -> int:
     levels = tuple(args.levels.split(","))
     if args.jvm_text_lane and levels == ("raw",):
         out = extract_pages_hybrid(pages)
+    elif args.jvm_text_lane and set(levels) == {"raw", "lines"}:
+        from .pipeline.extract import extract_pages_lines_hybrid
+        out = extract_pages_lines_hybrid(pages)
     else:
         out = extract_pages(pages, levels=levels)
     out.write.mode("overwrite").parquet(args.output)
@@ -311,8 +314,9 @@ def main(argv=None) -> int:
     p.add_argument("--levels", default="raw")
     p.add_argument("--partitions", type=int, default=0)
     p.add_argument("--jvm-text-lane", action="store_true",
-                   help="raw level only: route payload-less rows "
-                        "through the codegen-only JVM lane")
+                   help="raw or raw,lines levels: route payload-less "
+                        "rows through the pure-JVM expression lane "
+                        "(lines level emits typed lines/stats columns)")
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_extract)
 

@@ -300,6 +300,37 @@ def extract_pages_hybrid(pages: DataFrame) -> DataFrame:
     return jvm.unionByName(py)
 
 
+_LINES_JSON_SCHEMA = ("struct<lines:array<string>, "
+                      "stats:struct<total_lines:bigint, "
+                      "avg_line_length:double, max_line_length:bigint>>")
+
+
+def extract_pages_lines_hybrid(pages: DataFrame) -> DataFrame:
+    """Lines-level extraction with the JVM fast lane: payload-less
+    rows take ``extract_pages_lines_jvm`` (pure JVM), payload rows run
+    the fused Python chain and have their ``lines_json`` lifted to the
+    SAME typed columns via ``from_json`` — one unified
+    (…, lines, avg_line_length, max_line_length) table either way.
+    Row-set identical to the all-Python path by the gate
+    (tests/test_jvm_lines.py); at 10^12 rows the common
+    text-bearing-row request (normalize + lines + stats) never
+    crosses into Python."""
+    no_payload = F.col("html").isNull() | (F.length("html") == 0)
+    jvm = extract_pages_lines_jvm(pages.filter(no_payload))
+    parsed = F.from_json(F.col("lines_json"), _LINES_JSON_SCHEMA)
+    py = (extract_pages(pages.filter(~no_payload),
+                        levels=("raw", "lines"))
+          .withColumn("_p", parsed)
+          .select("url", "warc_ts", "lang", "doctype", "text",
+                  "n_chars", "n_lines", "failure_reason",
+                  F.col("_p.lines").alias("lines"),
+                  F.col("_p.stats.avg_line_length")
+                   .alias("avg_line_length"),
+                  F.col("_p.stats.max_line_length")
+                   .alias("max_line_length")))
+    return jvm.unionByName(py)
+
+
 def repartition_salted(df: DataFrame, num_partitions: int,
                        key: str = "url") -> DataFrame:
     """Skew-defeating repartition: hash the full high-cardinality key

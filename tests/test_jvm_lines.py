@@ -136,3 +136,44 @@ def test_lane_plan_has_no_python_stage(spark, tmp_path):
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_lines_hybrid_matches_python_path(spark, tmp_path):
+    """Mixed payload/text table: the lines-level hybrid router must
+    equal the all-Python path row for row on the unified typed
+    schema, and actually take the JVM lane for payload-less rows."""
+    from pdf_extractor_spark.pipeline.extract import \
+        extract_pages_lines_hybrid
+
+    pages = synth_pages_df(spark, 90, partitions=5).withColumn(
+        "html",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(3)) == 0, F.lit(None))
+         .otherwise(F.col("html")))
+    want = {}
+    for r in extract_pages(pages, levels=("raw", "lines")).collect():
+        parsed = json.loads(r.lines_json) if r.lines_json else None
+        want[r.url] = (
+            r.doctype, r.text, r.n_chars, r.n_lines, r.failure_reason,
+            parsed["lines"] if parsed else None,
+            parsed["stats"]["avg_line_length"] if parsed else None,
+            parsed["stats"]["max_line_length"] if parsed else None)
+    got = extract_pages_lines_hybrid(pages).collect()
+    assert {r.url for r in got} == set(want)
+    n_text_lane = 0
+    for r in got:
+        (doctype, text, n_chars, n_lines, fail,
+         lines, avg, mx) = want[r.url]
+        assert (r.doctype, r.text, r.n_chars, r.n_lines,
+                r.failure_reason) == (doctype, text, n_chars,
+                                      n_lines, fail), r.url
+        got_lines = list(r.lines) if r.lines is not None else None
+        assert got_lines == lines, r.url
+        if avg is None:
+            assert r.avg_line_length is None and \
+                r.max_line_length is None
+        else:
+            assert r.avg_line_length == float(avg)
+            assert r.max_line_length == mx
+        if r.doctype == "text":
+            n_text_lane += 1
+    assert n_text_lane > 0  # the JVM lane actually fired

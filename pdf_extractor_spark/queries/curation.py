@@ -586,6 +586,13 @@ def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it (``aggregate + element_at``); the only exchange is the
     presentation sort."""
     docs = _t(spark, sf_dir, "documents")
+    return nb_score(docs, nb_train(docs))
+
+
+def nb_train(docs: DataFrame) -> DataFrame:
+    """Train once per corpus snapshot: (w, w_u) integer log-odds.
+    Deployed, this table materializes like the PageRank snapshot and
+    every scoring pass reuses it."""
     lab = gopher_filter(docs).select(
         "doc_id", (F.col("verdict") == "kept").alias("good"))
     toks = (docs.select("doc_id", F.explode(F.expr(_W_EXPR)).alias("w"))
@@ -597,14 +604,19 @@ def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = toks.agg(F.sum("n_good").alias("gt"),
                    F.sum("n_bad").alias("bt"),
                    F.count("*").alias("v"))
-    weights = (toks.crossJoin(F.broadcast(tot))
-               .select("w", F.round(
-                   (F.log((F.col("n_good") + 1).cast("double")
-                          / (F.col("gt") + F.col("v")).cast("double"))
-                    - F.log((F.col("n_bad") + 1).cast("double")
-                            / (F.col("bt") + F.col("v"))
-                            .cast("double"))) * 1000000)
-                   .cast("long").alias("w_u")))
+    return (toks.crossJoin(F.broadcast(tot))
+            .select("w", F.round(
+                (F.log((F.col("n_good") + 1).cast("double")
+                       / (F.col("gt") + F.col("v")).cast("double"))
+                 - F.log((F.col("n_bad") + 1).cast("double")
+                         / (F.col("bt") + F.col("v"))
+                         .cast("double"))) * 1000000)
+                .cast("long").alias("w_u")))
+
+
+def nb_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """The corpus-touching pass: fold each doc's word array against
+    the broadcast weight map — zero shuffle but the final sort."""
     wmap = weights.agg(F.map_from_entries(
         F.collect_list(F.struct("w", "w_u"))).alias("m"))
     return (docs

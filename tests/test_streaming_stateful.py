@@ -320,3 +320,50 @@ def test_streaming_crawl_dedup_lag_keeps_reverting_content(
     verdicts = [v for _ts, v in rows]
     # A(kept) B(kept) A(kept — REVERTING, batch keeps it) A(unchanged)
     assert verdicts == ["kept", "kept", "kept", "unchanged_recrawl"]
+
+
+def test_streaming_crawl_dedup_lag_ttl_eviction_errs_kept_side(
+        spark, tmp_path):
+    """A canonical url quiet past the TTL horizon has its last-hash
+    state evicted; a later unchanged recapture then counts as KEPT —
+    the safe direction (the stream may keep extra, it never drops a
+    capture the batch keeps)."""
+    import time
+
+    from pdf_extractor_spark.streaming.stateful import \
+        streaming_crawl_dedup_lag
+
+    src = str(tmp_path / "pages_src")
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t0 = BASE
+    b1 = [("https://x.com/p", t0, None, "body A", "en")]
+    # 3 days later (> 1-day TTL): batch 2 advances the watermark past
+    # x.com/p's timeout; batch 3 (x absent) fires the event-time
+    # timeout and evicts its state; batch 4's unchanged recapture then
+    # folds against NO state
+    b2 = [("https://far.example/q", t0 + dt.timedelta(days=3), None,
+           "other", "en")]
+    b3 = [("https://far.example/r", t0 + dt.timedelta(days=3,
+                                                      minutes=2),
+           None, "other2", "en")]
+    b4 = [("https://x.com/p", t0 + dt.timedelta(days=3, minutes=5),
+           None, "body A", "en")]
+    for i, batch in enumerate((b1, b2, b3, b4)):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(2)
+
+    sink = f"stream_crawl_ttl_{os.getpid()}"
+    q = (streaming_crawl_dedup_lag(spark, src, watermark="1 minute")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish"
+    rows = sorted((r.warc_ts_us, r.canonical_url, r.verdict) for r in
+                  spark.sql(f"SELECT * FROM {sink}").collect())
+    verdicts = [(u, v) for _ts, u, v in rows]
+    # the unchanged recapture after eviction is kept, not dropped
+    assert verdicts == [("https://x.com/p", "kept"),
+                        ("https://far.example/q", "kept"),
+                        ("https://far.example/r", "kept"),
+                        ("https://x.com/p", "kept")]

@@ -129,7 +129,12 @@ def clean_content_line(line: str) -> str:
                 line = line.replace(spaced, _WS_RUN.sub("", spaced))
     line = _DND.sub("D&D", line)
     line = _DUNGEONS.sub("Dungeons & Dragons", line)
-    line = _LOWER_GAP.sub(r"\1\2", line)  # Q3: alternating-boundary delete
+    # Q3: alternating-boundary delete. Callable replacement instead
+    # of the r"\1\2" template: identical bytes by definition,
+    # skips the per-match expand_template machinery (the r03
+    # textnorm precedent, ~1.8x per match) - this sub fires on
+    # every lowercase gap of every content line.
+    line = _LOWER_GAP.sub(lambda m: m.group(1) + m.group(2), line)
     line = _MULTI_SPACE.sub(" ", line)
     return line.strip()
 

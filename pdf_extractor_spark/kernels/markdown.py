@@ -76,9 +76,11 @@ def normalize_title(title: str) -> str:
                 else:
                     words.append(word)
             else:
-                words.append(_INNER_GAP.sub(r"\1\2", word))
+                words.append(_INNER_GAP.sub(
+                    lambda m: m.group(1) + m.group(2), word))
         title = " ".join(words)
-    title = _CAMEL_BOUNDARY.sub(r"\1 \2", title)
+    title = _CAMEL_BOUNDARY.sub(
+        lambda m: m.group(1) + " " + m.group(2), title)
     title = _SPACE_HYPHEN.sub(" ", title).strip()
     title = title.replace("D & D", "D&D")
     words = title.split()

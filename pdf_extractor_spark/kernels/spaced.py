@@ -77,7 +77,8 @@ def clean_spaced_text_doc(text: str) -> str:
     """P14 — iterate regex-driven collapse until fixpoint
     (text_processor.py:128-168), joining cross-line splits first.
     """
-    text = _JOIN_ACROSS_LINES.sub(r"\1 \2", text)
+    text = _JOIN_ACROSS_LINES.sub(
+        lambda m: m.group(1) + " " + m.group(2), text)
     prev = None
     while prev != text:
         prev = text

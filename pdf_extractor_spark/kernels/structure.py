@@ -87,7 +87,7 @@ def clean_text(text: str) -> str:
     text = text.replace("t h e", "the")
     text = clean_spaced_text_doc(text)
     text = _MANY_NL.sub("\n\n", text)
-    text = _HYPHEN_BREAK.sub(r"\1\2", text)
+    text = _HYPHEN_BREAK.sub(lambda m: m.group(1) + m.group(2), text)
     text = _DOT_LEADER.sub(" • ", text)
     return text.strip()
 

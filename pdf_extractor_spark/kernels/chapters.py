@@ -127,8 +127,9 @@ def clean_content_line(line: str) -> str:
             spaced = seg[0]
             if len(spaced) > 5:
                 line = line.replace(spaced, _WS_RUN.sub("", spaced))
-    line = _DND.sub("D&D", line)
-    line = _DUNGEONS.sub("Dungeons & Dragons", line)
+    if "&" in line:  # both patterns require a literal ampersand
+        line = _DND.sub("D&D", line)
+        line = _DUNGEONS.sub("Dungeons & Dragons", line)
     # Q3: alternating-boundary delete. Callable replacement instead
     # of the r"\1\2" template: identical bytes by definition,
     # skips the per-match expand_template machinery (the r03

@@ -586,7 +586,7 @@ def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it (``aggregate + element_at``); the only exchange is the
     presentation sort."""
     docs = _t(spark, sf_dir, "documents")
-    return nb_score(docs, nb_train(docs))
+    return nb_score(docs, nb_train(docs)).orderBy("doc_id")
 
 
 def nb_train(docs: DataFrame) -> DataFrame:
@@ -616,7 +616,9 @@ def nb_train(docs: DataFrame) -> DataFrame:
 
 def nb_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
     """The corpus-touching pass: fold each doc's word array against
-    the broadcast weight map — zero shuffle but the final sort."""
+    the broadcast weight map — ZERO shuffle, no state, so the same
+    body scores a STREAMING DataFrame unchanged (parity pinned by
+    tests/test_streaming.py); callers add any presentation sort."""
     wmap = weights.agg(F.map_from_entries(
         F.collect_list(F.struct("w", "w_u"))).alias("m"))
     return (docs
@@ -627,8 +629,7 @@ def nb_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
                     F.expr("aggregate(ws, cast(0 as bigint), (acc, x)"
                            " -> acc + coalesce(element_at(m, x), 0L))")
                     .alias("score_u"))
-            .withColumn("predicted_good", F.col("score_u") > 0)
-            .orderBy("doc_id"))
+            .withColumn("predicted_good", F.col("score_u") > 0))
 
 
 ORACLE_NB_QUALITY = f"""

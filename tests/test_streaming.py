@@ -138,3 +138,29 @@ def test_gopher_filter_empty_text_no_ansi_divide_error(spark):
     assert rows[2].verdict == "too_few_words"
     assert rows[1].wlen_bp is None and rows[2].wlen_bp is None
     assert rows[3].n_words == 3 and rows[3].wlen_bp is not None
+
+
+def test_streaming_nb_score_matches_batch(spark, tmp_path):
+    """nb_score is a stateless broadcast-map fold, so the SAME body
+    scores a streaming DataFrame with no state store — per-doc scores
+    must equal the batch twin's under the same trained weights."""
+    from pdf_extractor_spark.queries.curation import nb_score, nb_train
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+    weights = nb_train(docs).localCheckpoint()
+
+    sink = f"stream_nb_{os.getpid()}"
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    # drop the presentation sort: orderBy is not stream-legal; the
+    # scoring body itself is the streaming surface
+    body = nb_score(stream_docs, weights)
+    q = (body.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    got = {r.doc_id: (r.n_tokens, r.score_u, r.predicted_good)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {r.doc_id: (r.n_tokens, r.score_u, r.predicted_good)
+            for r in nb_score(docs, weights).collect()}
+    assert got == want

@@ -57,8 +57,23 @@ def test_split_long_line_bounds(s):
 @settings(max_examples=150, deadline=None)
 @given(TEXT)
 def test_spaced_fixpoint_terminates_and_is_fixed(s):
+    # The contract is the reference's (text_processor.py:128-168): the
+    # REGEX-COLLAPSE loop runs to fixpoint; the cross-line join before it
+    # runs ONCE. The whole function is deliberately NOT idempotent — the
+    # join consumes alternate newlines only (non-overlapping matches), so
+    # a second call can join the survivors: ref('A\na\nA') == 'Aa\nA' but
+    # ref(ref(..)) == 'Aa A' (verified against the reference source).
     out = spaced.clean_spaced_text_doc(s)
-    assert spaced.clean_spaced_text_doc(out) == out
+    assert spaced._SPACED_DOC_PATTERN.sub(spaced._collapse_match, out) == out
+
+
+def test_spaced_doc_clean_single_join_pass_quirk():
+    """Named quirk: the once-only cross-line join skips alternate
+    newlines, so the doc-level clean is not idempotent (reference
+    text_processor.py:131 runs the join a single time before the loop).
+    Pin the exact reference outputs for the minimal counterexample."""
+    assert spaced.clean_spaced_text_doc("A\na\nA") == "Aa\nA"
+    assert spaced.clean_spaced_text_doc("Aa\nA") == "Aa A"
 
 
 @settings(max_examples=150, deadline=None)

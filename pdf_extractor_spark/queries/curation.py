@@ -20,7 +20,10 @@ tokenization, each expressed Spark-first with a DuckDB oracle:
   document, text rebuilt in position order;
 - ``semantic_dedup``: SemDeDup-style near-duplicate removal — within
   trained-k-means clusters, drop every vector that has a more-senior
-  (smaller vec_id) neighbor above a cosine threshold.
+  (smaller vec_id) neighbor above a cosine threshold;
+- ``dsir_weights``: DSIR importance resampling (Xie et al. 2023) —
+  hashed-unigram log-likelihood-ratio weights against a target
+  exemplar set, scored by a constant-size broadcast-map fold.
 
 No reference counterpart exists for any of these (the reference is a
 single-document pipeline); they are the corpus-level operations the
@@ -668,7 +671,110 @@ FROM scored ORDER BY doc_id
 """
 
 
+# --- DSIR importance weights -------------------------------------------------
+
+DSIR_BUCKETS = 512      # hashed feature space — model size fixed, not vocab
+DSIR_TARGET_MOD = 13    # every 13th doc plays the curated target corpus
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): weight
+    every raw document by the log-likelihood ratio of its HASHED
+    unigram features under a target-corpus model vs the raw-corpus
+    model, then select the positive-ratio docs. Here every
+    ``DSIR_TARGET_MOD``-th doc stands in for the curated target set
+    (deployed: Wikipedia/books); hashing into ``DSIR_BUCKETS`` buckets
+    is the paper's trick that makes the model size a CONSTANT — unlike
+    the NB vocab table, the broadcast state cannot grow with corpus
+    size, so the pass is safe at 10^12 docs by construction.
+
+    Determinism (the repo's integer-ln rule): per-bucket LLR is
+    ``round(1e6 · (ln((t+1)/(T+B)) − ln((r+1)/(R+B))))`` — one ln pair
+    per BUCKET (≤512 rows), frozen to micro-nats; per-doc weights are
+    int64 sums, partition-order independent.
+
+    Scale shape: training is ONE token-stream aggregate onto ≤512 keys
+    (map-side combine collapses each partition to ≤512 rows — the
+    exchange is negligible regardless of corpus size). Scoring — the
+    10^12-doc pass — is ZERO-shuffle: the 512-entry bucket→LLR map
+    broadcasts as one map column and each doc folds its own word array
+    against it; the only exchange is the presentation sort. The same
+    stateless fold scores a streaming DataFrame unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == 0
+    buckets = (docs
+               .select(is_target.alias("tgt"),
+                       F.explode(F.expr(_W_EXPR)).alias("w"))
+               .select("tgt", (F.conv(F.substring(F.md5("w"), 1, 14),
+                                      16, 10).cast("long")
+                               % DSIR_BUCKETS).alias("b"))
+               .groupBy("b")
+               .agg(F.sum(F.col("tgt").cast("long")).alias("t_cnt"),
+                    F.sum((~F.col("tgt")).cast("long")).alias("r_cnt")))
+    tot = buckets.agg(F.sum("t_cnt").alias("tt"),
+                      F.sum("r_cnt").alias("rt"))
+    llr = (buckets.crossJoin(F.broadcast(tot))
+           .select("b", F.round(
+               (F.log((F.col("t_cnt") + 1).cast("double")
+                      / (F.col("tt") + DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("r_cnt") + 1).cast("double")
+                        / (F.col("rt") + DSIR_BUCKETS)
+                        .cast("double"))) * 1000000)
+               .cast("long").alias("llr_u")))
+    wmap = llr.agg(F.map_from_entries(
+        F.collect_list(F.struct("b", "llr_u"))).alias("m"))
+    return (docs
+            .select("doc_id", F.expr(_W_EXPR).alias("ws"))
+            .crossJoin(F.broadcast(wmap))
+            .select("doc_id",
+                    F.size("ws").cast("long").alias("n_tokens"),
+                    F.expr(
+                        "aggregate(ws, cast(0 as bigint), (acc, x) ->"
+                        " acc + coalesce(element_at(m,"
+                        " cast(conv(substring(md5(x), 1, 14), 16, 10)"
+                        f" as bigint) % {DSIR_BUCKETS}), 0L))")
+                    .alias("dsir_u"))
+            .withColumn("selected", F.col("dsir_u") > 0)
+            .orderBy("doc_id"))
+
+
+ORACLE_DSIR = f"""
+WITH tok AS (
+  SELECT doc_id, (doc_id % {DSIR_TARGET_MOD} = 0) AS tgt,
+         CAST(concat('0x', substr(md5(unnest(
+             list_filter(string_split(text, ' '), x -> x <> ''))),
+             1, 14)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM documents
+), buckets AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS r_cnt
+  FROM tok GROUP BY b
+), tot AS (
+  SELECT SUM(t_cnt) AS tt, SUM(r_cnt) AS rt FROM buckets
+), llr AS (
+  SELECT b, CAST(ROUND((ln(CAST(t_cnt + 1 AS DOUBLE)
+                           / (tt + {DSIR_BUCKETS}))
+                        - ln(CAST(r_cnt + 1 AS DOUBLE)
+                             / (rt + {DSIR_BUCKETS})))
+                       * 1000000) AS BIGINT) AS llr_u
+  FROM buckets, tot
+), scored AS (
+  SELECT d.doc_id, CAST(COUNT(t.b) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(l.llr_u), 0) AS BIGINT) AS dsir_u
+  FROM documents d
+  LEFT JOIN tok t ON t.doc_id = d.doc_id
+  LEFT JOIN llr l ON l.b = t.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, dsir_u, dsir_u > 0 AS selected
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dsir_weights": (q_dsir_weights, ORACLE_DSIR),
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "gopher_quality_filter": (q_gopher_quality_filter, ORACLE_GOPHER),
     "nb_quality_score": (q_nb_quality_score, ORACLE_NB_QUALITY),

@@ -477,6 +477,22 @@ class TestRound4Plans:
                        3: (1, 0, 0)}
         assert 4 not in got
 
+    def test_dsir_scoring_is_broadcast_fold(self, spark):
+        """DSIR's corpus-touching pass must be the same zero-shuffle
+        broadcast-map fold as NB scoring; the hashed-bucket training
+        aggregate (<=512 keys, map-side combined) and the presentation
+        sort are the only exchanges. No window, no sort-merge join."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_dsir_weights(spark, SF_DIR))
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert "element_at" in plan, plan        # the per-doc map fold
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan, plan
+        # training side: exactly one hashaggregate pair keyed on the
+        # bucket column (exchange carries <=512 rows per partition)
+        assert "b#" in plan or "hashpartitioning" in plan, plan
+
     def test_nb_quality_scoring_is_broadcast_fold(self, spark):
         """The corpus-touching pass of the NB classifier (scoring all
         docs) must be a broadcast map fold — no window, no sort-merge

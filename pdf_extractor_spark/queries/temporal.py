@@ -158,7 +158,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+ATTR_WINDOW = "1 hour"
+
+
+def conversion_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-legal attribution body: every (signup, purchase) pair for
+    the same user with the purchase inside ``(signup_ts, signup_ts +
+    1h]``. The join condition is expressed on the TIMESTAMP columns
+    (equi-key + time interval) — exactly the shape Structured Streaming
+    requires to bound stream-stream join state: with a watermark on
+    both inputs, signup state older than watermark+1h is evicted, so
+    the same body runs unmodified as a watermarked two-stream join
+    (tests/test_streaming.py pins batch parity).
+
+    Batch scale shape: ONE keyed shuffle on user_id; the interval
+    predicate filters pairs inside each user's partition. Per-user pair
+    volume is bounded by activity density within the hour — for
+    unbounded-rate keys the bucketed form (q_events_range_join) is the
+    fallback. Lag reported in integer microseconds (the repo's
+    no-float time rule)."""
+    s = signups.select("user_id",
+                       F.col("event_id").alias("signup_id"),
+                       F.col("ts").alias("signup_ts"))
+    p = purchases.select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+    return (s.join(p, (F.col("user_id") == F.col("p_user"))
+                   & (F.col("purchase_ts") > F.col("signup_ts"))
+                   & (F.col("purchase_ts") <= F.col("signup_ts")
+                      + F.expr(f"INTERVAL {ATTR_WINDOW}")))
+            .select("user_id", "signup_id", "purchase_id",
+                    F.expr("timestampdiff(MICROSECOND, signup_ts,"
+                           " purchase_ts)").alias("lag_us")))
+
+
+def q_conversion_attribution(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Conversion attribution over the events table: signups joined to
+    same-user purchases within the attribution window — the canonical
+    stream-stream-join workload, run here in batch (the DuckDB-checked
+    twin of ``streaming_conversion_join``)."""
+    ev = _events(spark, sf_dir)
+    out = conversion_join(ev.filter(F.col("event_type") == "signup"),
+                          ev.filter(F.col("event_type") == "purchase"))
+    return out.orderBy("user_id", "signup_id", "purchase_id")
+
+
+ORACLE_ATTRIBUTION = f"""
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL {ATTR_WINDOW}
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+ORDER BY s.user_id, signup_id, purchase_id
+"""
+
+
 QUERIES = {
+    "conversion_attribution": (q_conversion_attribution,
+                               ORACLE_ATTRIBUTION),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF),
     "events_range_join": (q_events_range_join, ORACLE_RANGE),
     "salted_type_counts": (q_salted_type_counts, ORACLE_SALTED),

@@ -56,6 +56,29 @@ def streaming_event_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_conversion_join(spark: SparkSession, source_dir: str,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the missing §2.9 shape:
+    two branches of the events feed (signups, purchases) joined on
+    user_id with a time-interval condition. Both sides carry a
+    watermark, and the interval bound lets Spark derive the state
+    eviction horizon: a buffered signup row is dropped once the
+    purchase-side watermark passes ``signup_ts + ATTR_WINDOW``, so
+    state is O(events within watermark+window), not O(stream length).
+    The join body is shared with the batch twin
+    (``queries.temporal.conversion_join``) — parity is pinned by
+    tests/test_streaming.py."""
+    from ..queries.temporal import conversion_join
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    s = (stream.filter(F.col("event_type") == "signup")
+         .withWatermark("ts", watermark))
+    p = (stream.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark))
+    return conversion_join(s, p)
+
+
 PAGES_STREAM_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                        "text string, lang string")
 

@@ -41,6 +41,41 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_conversion_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join (watermarked, time-interval bound):
+    with availableNow over a finite source the join must emit exactly
+    the batch twin's pairs — same body, two watermarked branches."""
+    from pdf_extractor_spark.queries.temporal import conversion_join
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_conversion_join
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(3).write.parquet(src)
+
+    # watermark wider than the table's time span: the random 3-file
+    # split is NOT time-ordered, so a short watermark would race ahead
+    # after batch 0 and drop later files' rows as late (lateness
+    # semantics are pinned in test_streaming_latedata.py; this test
+    # pins JOIN parity, including cross-micro-batch buffered matches)
+    sink = f"stream_attr_{os.getpid()}"
+    q = (streaming_conversion_join(spark, src, watermark="3650 days")
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {(r.user_id, r.signup_id, r.purchase_id, r.lag_us)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+
+    src_ev = spark.read.parquet(src)
+    want = {(r.user_id, r.signup_id, r.purchase_id, r.lag_us)
+            for r in conversion_join(
+                src_ev.filter(F.col("event_type") == "signup"),
+                src_ev.filter(F.col("event_type") == "purchase"))
+            .collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_streaming_extract_exactly_once(spark, tmp_path):
     src = str(tmp_path / "pages_src")
     synth_pages_df(spark, n=60).repartition(3).write.parquet(src)

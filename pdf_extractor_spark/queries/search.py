@@ -1,4 +1,5 @@
-"""Corpus relevance search: BM25 top-k document retrieval.
+"""Corpus relevance search: BM25 top-k retrieval, tf-idf key terms,
+and BPE tokenizer training/encoding.
 
 A training-data pipeline uses relevance scoring for targeted data
 selection — "give me the documents most relevant to this query/domain
@@ -530,7 +531,79 @@ ORDER BY d.doc_id
 """
 
 
+TFIDF_K = 3
+
+
+def q_tfidf_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document key-term extraction: top-``TFIDF_K`` terms per doc
+    by tf-idf — the classic corpus-profiling / index-pruning pass.
+
+    Unlike BM25 (fixed tiny query → zero-explode), key terms need the
+    idf of EVERY word, so the vocab table cannot broadcast uncapped.
+    The honest shape is three KEYED exchanges of the distinct
+    (doc, word) PAIR stream (never the raw token stream — the
+    groupBy(doc_id, word) partial agg collapses repeats map-side, and
+    a doc's tokens are co-located after explode, so the first exchange
+    already carries ~distinct pairs): pairs agg → df agg on word →
+    pairs⋈idf on word → per-doc top-k. The top-k window is PARTITIONED
+    by doc_id (no global window; rank ties break score desc, word asc
+    — deterministic).
+
+    Determinism: idf is ``round(1e6·ln(N/df))`` — one ln per VOCAB
+    ENTRY, frozen to integer micro-nats; scores are int64 products."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", F.expr(_W_ARR).alias("ws")))
+    nd = docs.agg(F.count("*").alias("n"))
+    pairs = (docs.select("doc_id", F.explode("ws").alias("w"))
+             .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    idf = (pairs.groupBy("w").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(nd))
+           .select("w", F.round(F.log(F.col("n").cast("double")
+                                      / F.col("df")) * 1000000)
+                   .cast("long").alias("idf_u")))
+    scored = (pairs.join(idf, "w")
+              .select("doc_id", "w", "tf",
+                      (F.col("tf") * F.col("idf_u")).alias("score_u")))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score_u"),
+                                               F.asc("w"))
+    return (scored.withColumn("rk", F.row_number().over(win)
+                              .cast("long"))
+            .filter(F.col("rk") <= TFIDF_K)
+            .select("doc_id", "rk", "w", "tf", "score_u")
+            .orderBy("doc_id", "rk"))
+
+
+ORACLE_TFIDF = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM d
+), pairs AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, w
+), nd AS (
+  SELECT COUNT(*) AS n FROM d
+), idf AS (
+  SELECT w, CAST(ROUND(ln(CAST(n AS DOUBLE) / COUNT(*)) * 1000000)
+                 AS BIGINT) AS idf_u
+  FROM pairs, nd GROUP BY w, n
+), scored AS (
+  SELECT p.doc_id, p.w, p.tf, p.tf * i.idf_u AS score_u
+  FROM pairs p JOIN idf i USING (w)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_u DESC, w ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, w, tf, score_u FROM ranked
+WHERE rk <= {TFIDF_K} ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
+    "tfidf_keyterms": (q_tfidf_keyterms, ORACLE_TFIDF),
     "bm25_topk": (q_bm25_topk, ORACLE_BM25),
     "bpe_merges": (q_bpe_merges, ORACLE_BPE),
     "bpe_merges_batched": (q_bpe_merges_batched, ORACLE_BPE_BATCHED),

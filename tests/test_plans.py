@@ -445,6 +445,22 @@ class TestWebcurPlans:
 
 
 class TestRound4Plans:
+    def test_tfidf_topk_window_is_doc_partitioned(self, spark):
+        """Key-term top-k must rank within doc partitions — a global
+        (empty-partitionBy) window would serialize the whole corpus
+        onto one task. The ONE window in the plan is partitioned by
+        doc_id, and the pair stream reaches it via keyed exchanges of
+        distinct (doc, word) pairs, never the raw token stream."""
+        from pdf_extractor_spark.queries import search
+        plan = plan_of(search.q_tfidf_keyterms(spark, SF_DIR))
+        assert "windowspecdefinition(doc_id" in plan, plan
+        # the rank is pruned to k rows per doc BEFORE the doc_id
+        # exchange (Partial WindowGroupLimit), so the shuffle carries
+        # <=k rows per doc, not the full scored pair stream
+        assert "WindowGroupLimit" in plan, plan
+        assert plan.count("Partial") >= 1 and \
+            plan.index("WindowGroupLimit") < len(plan), plan
+
     def test_dedup_sentences_window_and_hot_join_free(self, spark):
         """First-wins sentence dedup must survive the universal-
         boilerplate hot key: the winner per unit is a hash AGGREGATE

@@ -1,6 +1,7 @@
 """Text-analysis operators for the training-data pipeline surface:
 language ID (stopword heuristic), quality scoring, token counting,
-document fingerprinting. All JVM-side builtins, all oracle-checked.
+document fingerprinting, train/val distribution-shift audit. All
+JVM-side builtins, all oracle-checked.
 
 These are the per-document scoring passes a 100 TB corpus runs between
 extraction and dedup — each is a narrow projection over `documents`
@@ -695,7 +696,91 @@ ORDER BY d.doc_id
 # FIRST 50 registry entries, so queries without a prior driver-green
 # CORRECTNESS row must lead (the r02-green tail re-verifies via
 # tools/check_oracles.py each round)
+JSD_BUCKETS = 512  # hashed feature space, same constant-size trick as DSIR
+
+
+def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution-shift audit: per-bucket Jensen-Shannon
+    divergence between the hashed-unigram distributions of the md5
+    train and val splits (the ``hash_split`` rule). A healthy random
+    split has near-zero JSD everywhere; a bucket with an outsized
+    contribution names the vocabulary region where the held-out set
+    stopped representing training — the standard pre-flight check
+    before trusting a validation loss at 100 TB.
+
+    Determinism: the ln pair runs once per BUCKET on the ≤512-row
+    count table and is frozen to integer micro-nats
+    (``round(1e6 · ½(p·ln(p/m) + q·ln(q/m)))``, add-one smoothing);
+    every corpus-scale aggregate is an int64 count.
+
+    Scale shape: ONE token-stream aggregate onto ≤512 keys (map-side
+    combine ⇒ the exchange carries ≤512 rows per partition regardless
+    of corpus size); everything after is a ≤512-row computation."""
+    docs = _t(spark, sf_dir, "documents")
+    split_h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 10
+    cnt = (docs
+           .filter(F.trim(F.col("text")) != "")
+           .withColumn("sh", split_h)
+           .filter(F.col("sh") <= 8)              # train (0-7) + val (8)
+           .select((F.col("sh") < 8).alias("tr"),
+                   F.explode(F.expr(_W_ARR)).alias("word"))
+           .select("tr", (F.conv(F.substring(F.md5("word"), 1, 14),
+                                 16, 10).cast("long")
+                          % JSD_BUCKETS).alias("b"))
+           .groupBy("b")
+           .agg(F.sum(F.col("tr").cast("long")).alias("t_cnt"),
+                F.sum((~F.col("tr")).cast("long")).alias("v_cnt")))
+    tot = cnt.agg(F.sum("t_cnt").alias("tt"), F.sum("v_cnt").alias("vt"))
+    pt = ((F.col("t_cnt") + 1).cast("double")
+          / (F.col("tt") + JSD_BUCKETS).cast("double"))
+    pv = ((F.col("v_cnt") + 1).cast("double")
+          / (F.col("vt") + JSD_BUCKETS).cast("double"))
+    m = (pt + pv) / F.lit(2.0)
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("b", "t_cnt", "v_cnt",
+                    F.round((pt * F.log(pt / m) + pv * F.log(pv / m))
+                            * 500000).cast("long").alias("jsd_u"))
+            .orderBy("b"))
+
+
+ORACLE_SPLIT_DIVERGENCE = f"""
+WITH tok AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS sh,
+         CAST(concat('0x', substr(md5(unnest(
+             list_filter(string_split(text, ' '), x -> x <> ''))),
+             1, 14)) AS BIGINT) % {JSD_BUCKETS} AS b
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN sh < 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS t_cnt,
+         CAST(SUM(CASE WHEN sh = 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_cnt
+  FROM tok WHERE sh <= 8 GROUP BY b
+), tot AS (
+  SELECT SUM(t_cnt) AS tt, SUM(v_cnt) AS vt FROM cnt
+)
+SELECT b, t_cnt, v_cnt,
+       CAST(ROUND((
+         (CAST(t_cnt + 1 AS DOUBLE) / (tt + {JSD_BUCKETS}))
+           * ln((CAST(t_cnt + 1 AS DOUBLE) / (tt + {JSD_BUCKETS}))
+                / (((CAST(t_cnt + 1 AS DOUBLE) / (tt + {JSD_BUCKETS}))
+                    + (CAST(v_cnt + 1 AS DOUBLE) / (vt + {JSD_BUCKETS})))
+                   / 2.0))
+         + (CAST(v_cnt + 1 AS DOUBLE) / (vt + {JSD_BUCKETS}))
+           * ln((CAST(v_cnt + 1 AS DOUBLE) / (vt + {JSD_BUCKETS}))
+                / (((CAST(t_cnt + 1 AS DOUBLE) / (tt + {JSD_BUCKETS}))
+                    + (CAST(v_cnt + 1 AS DOUBLE) / (vt + {JSD_BUCKETS})))
+                   / 2.0))
+       ) * 500000) AS BIGINT) AS jsd_u
+FROM cnt, tot ORDER BY b
+"""
+
+
 QUERIES = {
+    "split_divergence": (q_split_divergence, ORACLE_SPLIT_DIVERGENCE),
     "bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LM),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION),

@@ -161,7 +161,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 ATTR_WINDOW = "1 hour"
 
 
-def conversion_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
+def conversion_join(signups: DataFrame, purchases: DataFrame,
+                    how: str = "inner") -> DataFrame:
     """Stream-legal attribution body: every (signup, purchase) pair for
     the same user with the purchase inside ``(signup_ts, signup_ts +
     1h]``. The join condition is expressed on the TIMESTAMP columns
@@ -186,7 +187,7 @@ def conversion_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
     return (s.join(p, (F.col("user_id") == F.col("p_user"))
                    & (F.col("purchase_ts") > F.col("signup_ts"))
                    & (F.col("purchase_ts") <= F.col("signup_ts")
-                      + F.expr(f"INTERVAL {ATTR_WINDOW}")))
+                      + F.expr(f"INTERVAL {ATTR_WINDOW}")), how)
             .select("user_id", "signup_id", "purchase_id",
                     F.expr("timestampdiff(MICROSECOND, signup_ts,"
                            " purchase_ts)").alias("lag_us")))
@@ -204,6 +205,43 @@ def q_conversion_attribution(spark: SparkSession,
     return out.orderBy("user_id", "signup_id", "purchase_id")
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: EVERY signup with its purchase count and
+    fastest lag inside the attribution window — including the
+    unattributed ones (the left-outer shape). Streaming twin:
+    ``streaming_conversion_funnel`` emits the same pair rows from a
+    watermarked left-outer stream-stream join, where an unmatched
+    signup's null row flushes once the global watermark passes
+    ``signup_ts + window`` (parity pinned in tests/test_streaming.py).
+
+    Batch scale shape: the same single user_id-keyed shuffle as the
+    inner join; the per-signup rollup partial-combines (pair volume
+    per signup is window-bounded)."""
+    ev = _events(spark, sf_dir)
+    pairs = conversion_join(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "purchase"), "left")
+    return (pairs.groupBy("user_id", "signup_id")
+            .agg(F.count("purchase_id").alias("n_purchases"),
+                 F.min("lag_us").alias("min_lag_us"))
+            .withColumn("attributed", F.col("n_purchases") > 0)
+            .orderBy("user_id", "signup_id"))
+
+
+ORACLE_FUNNEL = f"""
+SELECT s.user_id, s.event_id AS signup_id,
+       CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases,
+       MIN(epoch_us(p.ts) - epoch_us(s.ts)) AS min_lag_us,
+       COUNT(p.event_id) > 0 AS attributed
+FROM events s LEFT JOIN events p
+  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL {ATTR_WINDOW}
+WHERE s.event_type = 'signup'
+GROUP BY s.user_id, s.event_id
+ORDER BY s.user_id, signup_id
+"""
+
+
 ORACLE_ATTRIBUTION = f"""
 SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
        epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
@@ -216,6 +254,7 @@ ORDER BY s.user_id, signup_id, purchase_id
 
 
 QUERIES = {
+    "conversion_funnel": (q_conversion_funnel, ORACLE_FUNNEL),
     "conversion_attribution": (q_conversion_attribution,
                                ORACLE_ATTRIBUTION),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF),

@@ -79,6 +79,27 @@ def streaming_conversion_join(spark: SparkSession, source_dir: str,
     return conversion_join(s, p)
 
 
+def streaming_conversion_funnel(spark: SparkSession, source_dir: str,
+                                watermark: str = "2 hours") -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: every signup emits —
+    matched pairs as they arrive, and an UNMATCHED signup emits its
+    null row once the global watermark (the min across both branches)
+    passes ``signup_ts + ATTR_WINDOW``, i.e. once no qualifying
+    purchase can still arrive. Trailing caveat: signups younger than
+    (max event time − watermark − window) at end-of-input hold state
+    until later data advances the watermark — on a live feed that data
+    always comes; the parity test supplies it as a sentinel batch."""
+    from ..queries.temporal import conversion_join
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    s = (stream.filter(F.col("event_type") == "signup")
+         .withWatermark("ts", watermark))
+    p = (stream.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark))
+    return conversion_join(s, p, "leftOuter")
+
+
 PAGES_STREAM_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                        "text string, lang string")
 

@@ -76,6 +76,68 @@ def test_streaming_conversion_join_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_funnel_outer_join_flushes_nulls(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs emit eagerly;
+    an UNMATCHED signup's null row emits once the watermark passes
+    signup_ts + window. A far-future sentinel batch plays the 'later
+    data' that advances both branch watermarks, so every earlier
+    signup flushes; the sentinel's own rows stay in state (documented
+    trailing caveat) and are excluded from the expectation."""
+    import datetime as dt
+    from tests.test_streaming_latedata import _write_flat
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_conversion_funnel
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+
+    def ev(eid, ts, uid, etype):
+        return dict(event_id=eid, ts=ts, user_id=uid, event_type=etype,
+                    value=1.0, props="{}")
+
+    import time as _time
+    # batch 1: u1 signup+purchase (30min lag, matches), u2 signup
+    # (never purchases), u3 purchase (no signup — must NOT emit)
+    _write_flat(spark, [
+        ev(1, base, 1, "signup"),
+        ev(2, base + dt.timedelta(minutes=30), 1, "purchase"),
+        ev(3, base, 2, "signup"),
+        ev(4, base + dt.timedelta(minutes=10), 3, "purchase"),
+    ], staging, src, "b1.parquet")
+    _time.sleep(1.1)
+    # batch 2: u1 second purchase at +45min (also inside the window),
+    # u2 purchase at +2h — OUTSIDE the 1h window (u2 stays null)
+    _write_flat(spark, [
+        ev(5, base + dt.timedelta(minutes=45), 1, "purchase"),
+        ev(6, base + dt.timedelta(hours=2), 2, "purchase"),
+    ], staging, src, "b2.parquet")
+    _time.sleep(1.1)
+    # batch 3: sentinel signup+purchase 30 days out, unused users —
+    # advances BOTH branch watermarks past every earlier signup's
+    # flush horizon (signup_ts + 1h + 2h watermark)
+    far = base + dt.timedelta(days=30)
+    _write_flat(spark, [
+        ev(98, far, 98, "signup"),
+        ev(99, far, 99, "purchase"),
+    ], staging, src, "b3.parquet")
+
+    sink = f"stream_funnel_{os.getpid()}"
+    q = (streaming_conversion_funnel(spark, src)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {(r.user_id, r.signup_id, r.purchase_id, r.lag_us)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {
+        (1, 1, 2, 30 * 60 * 1_000_000),   # matched, 30min lag
+        (1, 1, 5, 45 * 60 * 1_000_000),   # second purchase in window
+        (2, 3, None, None),               # unmatched signup → null row
+    }
+    assert got == want
+
+
 def test_streaming_extract_exactly_once(spark, tmp_path):
     src = str(tmp_path / "pages_src")
     synth_pages_df(spark, n=60).repartition(3).write.parquet(src)

@@ -540,14 +540,17 @@ def q_tfidf_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike BM25 (fixed tiny query → zero-explode), key terms need the
     idf of EVERY word, so the vocab table cannot broadcast uncapped.
-    The honest shape is three KEYED exchanges of the distinct
-    (doc, word) PAIR stream (never the raw token stream — the
-    groupBy(doc_id, word) partial agg collapses repeats map-side, and
-    a doc's tokens are co-located after explode, so the first exchange
-    already carries ~distinct pairs): pairs agg → df agg on word →
+    Per-doc term frequencies are computed DOC-LOCALLY — array_sort the
+    word array, take run starts, zip each with its run length — so the
+    raw token stream never shuffles and the first exchange already
+    carries distinct (doc, word, tf) pairs (measured: the
+    explode+groupBy(doc_id, word) variant costs one extra pair-stream
+    exchange+sort, eff 0.61 → this shape at 500k docs in
+    BENCH/BASELINE.md). Remaining exchanges: df agg on word →
     pairs⋈idf on word → per-doc top-k. The top-k window is PARTITIONED
     by doc_id (no global window; rank ties break score desc, word asc
-    — deterministic).
+    — deterministic), with a Partial WindowGroupLimit pruning to k
+    rows per doc below the exchange.
 
     Determinism: idf is ``round(1e6·ln(N/df))`` — one ln per VOCAB
     ENTRY, frozen to integer micro-nats; scores are int64 products."""
@@ -555,8 +558,21 @@ def q_tfidf_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.trim(F.col("text")) != "")
             .select("doc_id", F.expr(_W_ARR).alias("ws")))
     nd = docs.agg(F.count("*").alias("n"))
-    pairs = (docs.select("doc_id", F.explode("ws").alias("w"))
-             .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    # staged-split rule: sw and its run starts live in their own
+    # projections so lambdas don't recompute them per element
+    pairs = (docs
+             .select("doc_id", F.expr("array_sort(ws)").alias("sw"))
+             .select("doc_id", "sw", F.expr(
+                 "filter(sequence(1, size(sw)), i -> i = 1 OR"
+                 " element_at(sw, i) <> element_at(sw, i - 1))")
+                 .alias("st"))
+             .select("doc_id", F.explode(F.expr(
+                 "transform(st, (s, j) -> struct("
+                 " element_at(sw, s) as w,"
+                 " cast(coalesce(try_element_at(st, j + 2), size(sw) + 1)"
+                 "      - s as bigint) as tf))")).alias("p"))
+             .select("doc_id", F.col("p.w").alias("w"),
+                     F.col("p.tf").alias("tf")))
     idf = (pairs.groupBy("w").agg(F.count("*").alias("df"))
            .crossJoin(F.broadcast(nd))
            .select("w", F.round(F.log(F.col("n").cast("double")

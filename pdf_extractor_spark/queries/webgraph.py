@@ -616,7 +616,100 @@ ORDER BY rk
 ORACLE_FRONTIER_PRIORITY = _frontier_oracle()
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts on the undirected host graph — the
+    clustering/link-farm signal (a host whose neighbors all
+    interlink is a community or a spam ring; triangle density feeds
+    both). Per-host count = number of triangles the host belongs to.
+
+    Scale shape (the public MapReduce triangle algorithm of Suri &
+    Vassilvitskii 2011 / Cohen 2009): orient every undirected edge
+    from the LOWER to the HIGHER endpoint in the (degree, host) total
+    order, enumerate wedges only at each edge's low endpoint, and
+    close them with a semi-join against the oriented edge set. Degree
+    ordering bounds total wedge volume by O(m^1.5) regardless of hub
+    skew — a 10^7-degree hub generates no wedges at itself because
+    every incident edge points INTO it. All joins are host-keyed on
+    the post-agg edge table (never the page corpus); the degree table
+    is |hosts|-sized and broadcastable.
+
+    The triangle COUNT is orientation-independent, so the DuckDB
+    oracle closes name-ordered wedges instead — same rows by
+    construction."""
+    edges = (_edges(spark, sf_dir)
+             .filter(F.col("src_host") != F.col("dst_host")))
+    und = (edges.select(F.least("src_host", "dst_host").alias("a"),
+                        F.greatest("src_host", "dst_host").alias("b"))
+           .distinct().localCheckpoint())
+    return triangle_counts(und)
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over an undirected edge table
+    ``(a, b)`` with a < b, deduplicated. See q_host_triangles."""
+    deg = (und.select(F.col("a").alias("host"))
+           .union(und.select(F.col("b").alias("host")))
+           .groupBy("host").agg(F.count("*").alias("deg")))
+    ed = (und
+          .join(deg.select(F.col("host").alias("a"),
+                           F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("host").alias("b"),
+                           F.col("deg").alias("db")), "b"))
+    a_first = (F.struct("da", "a") < F.struct("db", "b"))
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    o1 = oriented.select("u", F.col("v").alias("v1"),
+                         F.col("dv").alias("dv1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"),
+                         F.col("dv").alias("dv2"))
+    wedges = (o1.join(o2, "u")
+              .filter(F.struct("dv1", "v1") < F.struct("dv2", "v2")))
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"], "left_semi")
+    th = (tri.select(F.col("u").alias("host"))
+          .union(tri.select(F.col("v1").alias("host")))
+          .union(tri.select(F.col("v2").alias("host"))))
+    cnt = th.groupBy("host").agg(F.count("*").alias("n_triangles"))
+    hosts = (und.select(F.col("a").alias("host"))
+             .union(und.select(F.col("b").alias("host"))).distinct())
+    return (hosts.join(cnt, "host", "left")
+            .select("host", F.coalesce("n_triangles", F.lit(0))
+                    .cast("long").alias("n_triangles"))
+            .orderBy("host"))
+
+
+ORACLE_HOST_TRIANGLES = f"""
+WITH {_graph_cte()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b
+  FROM edges
+), tri AS MATERIALIZED (
+  SELECT u.a AS h1, u.b AS h2, v.b AS h3
+  FROM und u
+  JOIN und v ON v.a = u.a AND v.b > u.b
+  JOIN und w ON w.a = u.b AND w.b = v.b
+), th AS (
+  SELECT h1 AS host FROM tri
+  UNION ALL SELECT h2 FROM tri
+  UNION ALL SELECT h3 FROM tri
+), cnt AS (
+  SELECT host, COUNT(*) AS n_triangles FROM th GROUP BY host
+), uh AS (
+  SELECT a AS host FROM und UNION SELECT b FROM und
+)
+SELECT u.host, CAST(COALESCE(c.n_triangles, 0) AS BIGINT)
+         AS n_triangles
+FROM uh u LEFT JOIN cnt c ON c.host = u.host
+ORDER BY u.host
+"""
+
+
 QUERIES = {
+    "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
     "outlinks": (q_outlinks, ORACLE_OUTLINKS),
     "anchor_texts": (q_anchor_texts, ORACLE_ANCHOR_TEXTS),
     "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),

@@ -236,3 +236,47 @@ class TestPrecomputedRank:
         w_pre = webgraph.q_host_sample_weights(spark, sf,
                                                rank=rank).collect()
         assert w_pre == w_inline
+
+
+class TestTriangles:
+    def test_triangle_counts_star_and_clique(self, spark):
+        """Adversarial shapes: a star hub has NO triangles (and under
+        degree ordering generates no wedges at itself — every incident
+        edge points into it); a 4-clique puts every member in C(3,2)=3
+        triangles; a pendant edge contributes nothing."""
+        from pdf_extractor_spark.queries.webgraph import triangle_counts
+        star = [("hub", f"s{i}") for i in range(1, 6)]
+        k4 = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+              ("k2", "k3"), ("k2", "k4"), ("k3", "k4")]
+        pendant = [("k4", "tail")]
+        und = spark.createDataFrame(
+            [(min(x), max(x)) for x in star + k4 + pendant],
+            "a string, b string")
+        got = {r.host: r.n_triangles
+               for r in triangle_counts(und).collect()}
+        assert got == {"hub": 0, "s1": 0, "s2": 0, "s3": 0, "s4": 0,
+                       "s5": 0, "k1": 3, "k2": 3, "k3": 3, "k4": 3,
+                       "tail": 0}
+
+    def test_triangle_counts_match_bruteforce(self, spark):
+        """Random-ish deterministic graph: degree-ordered counts equal
+        a brute-force closure over all vertex triples."""
+        from itertools import combinations
+        from pdf_extractor_spark.queries.webgraph import triangle_counts
+        hosts = [f"h{i}" for i in range(12)]
+        edges = sorted({tuple(sorted((hosts[(i * 7 + j) % 12],
+                                      hosts[(j * 5 + 1) % 12])))
+                        for i in range(12) for j in range(1, 4)
+                        if hosts[(i * 7 + j) % 12]
+                        != hosts[(j * 5 + 1) % 12]})
+        eset = set(edges)
+        want = {h: 0 for h in {v for e in edges for v in e}}
+        for tri in combinations(sorted(want), 3):
+            if all(tuple(sorted(p)) in eset
+                   for p in combinations(tri, 2)):
+                for v in tri:
+                    want[v] += 1
+        und = spark.createDataFrame(edges, "a string, b string")
+        got = {r.host: r.n_triangles
+               for r in triangle_counts(und).collect()}
+        assert got == want

@@ -193,19 +193,29 @@ def conversion_join(signups: DataFrame, purchases: DataFrame,
                            " purchase_ts)").alias("lag_us")))
 
 
-def q_conversion_attribution(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
+def q_conversion_attribution(spark: SparkSession, sf_dir: str,
+                             events: DataFrame = None) -> DataFrame:
     """Conversion attribution over the events table: signups joined to
     same-user purchases within the attribution window — the canonical
     stream-stream-join workload, run here in batch (the DuckDB-checked
-    twin of ``streaming_conversion_join``)."""
-    ev = _events(spark, sf_dir)
+    twin of ``streaming_conversion_join``).
+
+    Deployed shape: pass ``events`` as a table BUCKETED on user_id —
+    the join then runs with ZERO Exchange (both branches inherit the
+    bucket layout; plan + row-identity pinned in test_bucketing.py).
+    Measured at 100M events (BENCH/BASELINE.md): the shuffled form is
+    disk-bandwidth-bound on one box (eff 0.63 at 4→16); the bucketed
+    form is exchange-free, faster at both levels, eff 0.84 — and on a
+    real cluster bucketing removes the network shuffle entirely, which
+    is the point at 10^12 events."""
+    ev = events if events is not None else _events(spark, sf_dir)
     out = conversion_join(ev.filter(F.col("event_type") == "signup"),
                           ev.filter(F.col("event_type") == "purchase"))
     return out.orderBy("user_id", "signup_id", "purchase_id")
 
 
-def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_conversion_funnel(spark: SparkSession, sf_dir: str,
+                        events: DataFrame = None) -> DataFrame:
     """Conversion funnel: EVERY signup with its purchase count and
     fastest lag inside the attribution window — including the
     unattributed ones (the left-outer shape). Streaming twin:
@@ -216,8 +226,10 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batch scale shape: the same single user_id-keyed shuffle as the
     inner join; the per-signup rollup partial-combines (pair volume
-    per signup is window-bounded)."""
-    ev = _events(spark, sf_dir)
+    per signup is window-bounded). Pass a user_id-BUCKETED ``events``
+    table for the exchange-free deployed shape (see
+    q_conversion_attribution)."""
+    ev = events if events is not None else _events(spark, sf_dir)
     pairs = conversion_join(
         ev.filter(F.col("event_type") == "signup"),
         ev.filter(F.col("event_type") == "purchase"), "left")

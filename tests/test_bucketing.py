@@ -74,3 +74,44 @@ def test_unbucketed_join_needs_shuffle(bucketed):
         assert nodes(plan, "Exchange") >= 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_attribution_join_exchange_free(bucketed):
+    """The stream-stream-shaped attribution join over a user_id-
+    bucketed events table: SELF-join co-location — both branches
+    (signups, purchases) inherit the bucket layout, so the interval
+    join runs with ZERO Exchange and is row-identical to the
+    unbucketed registry form (the deployed shape at 10^12 events;
+    measured 0.63 -> 0.84 efficiency at 100M events in
+    BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.temporal import (
+        q_conversion_attribution)
+    spark = bucketed
+    sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS events_b")
+    try:
+        (spark.read.parquet(f"{sf}/events.parquet")
+         .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+         .mode("overwrite").saveAsTable("events_b"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ev_b = spark.table("events_b")
+            from pdf_extractor_spark.queries.temporal import \
+                conversion_join
+            pairs = conversion_join(
+                ev_b.filter(F.col("event_type") == "signup"),
+                ev_b.filter(F.col("event_type") == "purchase"))
+            plan = plan_of(pairs)
+            assert "SortMergeJoin" in plan, plan
+            assert nodes(plan, "Exchange") == 0, plan
+            got = sorted(map(tuple, pairs.collect()))
+            want = sorted(map(tuple, q_conversion_attribution(
+                spark, sf).collect()))
+            assert got == want and len(got) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_b")

@@ -1274,7 +1274,96 @@ ORDER BY canonical_url, capture_rank
 """
 
 
+# --- robots.txt-style longest-prefix-match filter ----------------------------
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness: apply per-host robots rules to every page by
+    the REP longest-match rule (RFC 9309 / the public Google spec):
+    among the rules whose path-prefix matches, the LONGEST wins; on a
+    length tie, allow beats disallow. Rules are synthesized
+    deterministically from the corpus's canonical hosts — '/' allow
+    everywhere, '/Docs/' disallowed on even-length hosts, '/Docs/1'
+    allowed everywhere (the longest-match override), and a same-length
+    allow/disallow pair on '/Docs/2' (the tie-break pin).
+
+    Scale shape: a real rules table is per-host-small (UT1-blocklist
+    sized) — it BROADCASTS, the prefix test and the winner selection
+    run scan-side, and the winner aggregate is a plain int64 ``max``
+    (rule length and the allow bit encoded into ONE integer —
+    ``len*2 + allow`` — so map-side combine holds on hot keys; a
+    ``max(struct(...))`` here would fall back to SortAggregate). The
+    only exchange is the per-page aggregate (≤4 candidate rows per
+    page) plus the presentation sort."""
+    docs = _t(spark, sf_dir, "documents")
+    url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    pages = (canonicalize_urls(url)
+             .withColumn("rest",
+                         F.expr("split_part(canonical_url, '://', 2)"))
+             .withColumn("hp", F.expr(
+                 "split_part(split_part(rest, '?', 1), '/', 1)"))
+             .select("doc_id", "host",
+                     F.expr("split_part(substr(rest, length(hp) + 1),"
+                            " '?', 1)").alias("path")))
+    hosts = pages.select("host").distinct()
+    rules = (
+        hosts.select("host", F.lit("/").alias("rule"),
+                     F.lit(1).alias("allow"))
+        .union(hosts.filter(F.length("host") % 2 == 0)
+               .select("host", F.lit("/Docs/").alias("rule"),
+                       F.lit(0).alias("allow")))
+        .union(hosts.select("host", F.lit("/Docs/1").alias("rule"),
+                            F.lit(1).alias("allow")))
+        .union(hosts.select("host", F.lit("/Docs/2").alias("rule"),
+                            F.lit(1).alias("allow")))
+        .union(hosts.select("host", F.lit("/Docs/2").alias("rule"),
+                            F.lit(0).alias("allow"))))
+    cand = (pages.join(F.broadcast(rules), "host")
+            .filter(F.expr("substr(path, 1, length(rule)) = rule"))
+            .select("doc_id", "host", "path",
+                    (F.length("rule") * 2 + F.col("allow"))
+                    .cast("long").alias("score")))
+    return (cand.groupBy("doc_id", "host", "path")
+            .agg(F.max("score").alias("s"))
+            .select("doc_id", "host", "path",
+                    F.expr("s div 2").alias("matched_len"),
+                    (F.col("s") % 2 == 1).alias("allowed"))
+            .orderBy("doc_id"))
+
+
+ORACLE_ROBOTS = f"""
+WITH canon AS ({ORACLE_URL_CANONICALIZE.replace("ORDER BY doc_id", "")}),
+pages AS (
+  SELECT doc_id, host,
+         split_part(substr(split_part(canonical_url, '://', 2),
+                    length(split_part(split_part(
+                        split_part(canonical_url, '://', 2), '?', 1),
+                        '/', 1)) + 1), '?', 1) AS path
+  FROM canon
+), hosts AS (
+  SELECT DISTINCT host FROM pages
+), rules AS (
+  SELECT host, '/' AS rule, 1 AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/Docs/', 0 FROM hosts WHERE length(host) % 2 = 0
+  UNION ALL SELECT host, '/Docs/1', 1 FROM hosts
+  UNION ALL SELECT host, '/Docs/2', 1 FROM hosts
+  UNION ALL SELECT host, '/Docs/2', 0 FROM hosts
+), cand AS (
+  SELECT p.doc_id, p.host, p.path,
+         CAST(length(r.rule) * 2 + r.allow AS BIGINT) AS score
+  FROM pages p JOIN rules r ON r.host = p.host
+  WHERE substr(p.path, 1, length(r.rule)) = r.rule
+)
+SELECT doc_id, host, path,
+       CAST(MAX(score) // 2 AS BIGINT) AS matched_len,
+       MAX(score) % 2 = 1 AS allowed
+FROM cand GROUP BY doc_id, host, path
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "robots_filter": (q_robots_filter, ORACLE_ROBOTS),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "span_scrub": (q_span_scrub, ORACLE_SPAN_SCRUB),
     "span_scrub_star": (q_span_scrub_star, ORACLE_SPAN_SCRUB_STAR),

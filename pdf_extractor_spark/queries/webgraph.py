@@ -556,6 +556,21 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str,
     8-iteration rank loop inline per query. ``None`` (the registry/
     oracle form) recomputes inline so the DuckDB oracle pins the whole
     composition."""
+    scored = frontier_scored(spark, sf_dir, rank)
+    topk = (scored.orderBy(F.desc("priority"), F.asc("canonical_url"))
+            .limit(TOP_FRONTIER))
+    w = Window.orderBy(F.desc("priority"), F.asc("canonical_url"))
+    return (topk.withColumn("rk", F.row_number().over(w))
+            .orderBy("rk"))
+
+
+TOP_FRONTIER = 25
+
+
+def frontier_scored(spark: SparkSession, sf_dir: str,
+                    rank: DataFrame = None) -> DataFrame:
+    """The shared staleness × authority scoring stage of the crawl
+    scheduler (see q_frontier_priority for the shape notes)."""
     from .webcur import _CRAWL_TS, _CRAWL_URL_SPARK, canonicalize_urls
 
     docs = _t(spark, sf_dir, "documents")
@@ -568,21 +583,71 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str,
     horizon = last.agg(F.max("last_ts").alias("now_ts"))
     if rank is None:
         rank = q_host_pagerank(spark, sf_dir)
-    scored = (last.crossJoin(F.broadcast(horizon))
-              .join(F.broadcast(rank), "host")
-              .select("canonical_url", "host", "last_ts",
-                      F.expr("(now_ts - last_ts) div 60")
-                       .alias("staleness_min"), "rank_ppb")
-              .withColumn("priority",
-                          F.expr("staleness_min * rank_ppb div 1000")))
-    topk = (scored.orderBy(F.desc("priority"), F.asc("canonical_url"))
-            .limit(TOP_FRONTIER))
-    w = Window.orderBy(F.desc("priority"), F.asc("canonical_url"))
-    return (topk.withColumn("rk", F.row_number().over(w))
-            .orderBy("rk"))
+    return (last.crossJoin(F.broadcast(horizon))
+            .join(F.broadcast(rank), "host")
+            .select("canonical_url", "host", "last_ts",
+                    F.expr("(now_ts - last_ts) div 60")
+                     .alias("staleness_min"), "rank_ppb")
+            .withColumn("priority",
+                        F.expr("staleness_min * rank_ppb div 1000")))
 
 
-TOP_FRONTIER = 25
+CRAWL_DELAY_S = 5  # per-host politeness delay between fetches
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str,
+                     rank: DataFrame = None) -> DataFrame:
+    """Politeness-aware fetch scheduling — the step after frontier
+    prioritization: within each host, fetches must be serialized with
+    a courtesy delay, so every frontier URL gets a per-host SLOT
+    (0, 1, 2, … in priority order) and an ETA of
+    ``slot · CRAWL_DELAY_S``. The crawler then dispatches by ETA: host
+    parallelism stays maximal while no host ever sees two fetches
+    closer than the delay — the standard crawl-scheduler transform.
+
+    Shape: the scoring stage's exchanges plus ONE host-keyed window
+    (partitioned row_number, never global); a mega-host serializes its
+    OWN slot numbering — which is precisely the semantics (its fetches
+    are serialized by politeness anyway) — while all other hosts
+    proceed in parallel. Same deployed ``rank=`` hook as
+    q_frontier_priority."""
+    scored = frontier_scored(spark, sf_dir, rank)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"),
+                                           F.asc("canonical_url"))
+    return (scored
+            .withColumn("slot",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .withColumn("eta_s", F.col("slot") * CRAWL_DELAY_S)
+            .select("canonical_url", "host", "priority", "slot",
+                    "eta_s")
+            .orderBy("host", "slot"))
+
+
+def _fetch_schedule_oracle() -> str:
+    from .webcur import _crawl_canon_cte
+    return f"""
+WITH {_pagerank_cte()},
+{_crawl_canon_cte()},
+last AS (
+  SELECT canonical_url, host, MAX(ts) AS last_ts
+  FROM canon GROUP BY canonical_url, host
+), scored AS (
+  SELECT l.canonical_url, l.host,
+         (((SELECT MAX(last_ts) FROM last) - l.last_ts) // 60)
+           * r.rank_ppb // 1000 AS priority
+  FROM last l JOIN r{PR_ITERS} r ON r.host = l.host
+)
+SELECT canonical_url, host, priority,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY priority DESC,
+                                        canonical_url ASC) - 1
+            AS BIGINT) AS slot,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority DESC,
+                                         canonical_url ASC) - 1)
+            * {CRAWL_DELAY_S} AS BIGINT) AS eta_s
+FROM scored ORDER BY host, slot
+"""
 
 
 def _frontier_oracle() -> str:
@@ -614,6 +679,7 @@ ORDER BY rk
 
 
 ORACLE_FRONTIER_PRIORITY = _frontier_oracle()
+ORACLE_FETCH_SCHEDULE = _fetch_schedule_oracle()
 
 
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,4 +784,5 @@ QUERIES = {
     "host_hits": (q_host_hits, ORACLE_HOST_HITS),
     "host_degrees": (q_host_degrees, ORACLE_HOST_DEGREES),
     "frontier_priority": (q_frontier_priority, ORACLE_FRONTIER_PRIORITY),
+    "fetch_schedule": (q_fetch_schedule, ORACLE_FETCH_SCHEDULE),
 }

@@ -702,6 +702,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it; the only exchange is the presentation sort. The same
     stateless fold scores a streaming DataFrame unchanged."""
     docs = _t(spark, sf_dir, "documents")
+    return dsir_score(docs, dsir_train(docs)).orderBy("doc_id")
+
+
+def dsir_train(docs: DataFrame) -> DataFrame:
+    """Train once per corpus snapshot: (bucket, llr_u) — ≤512 rows by
+    construction (the constant-size guarantee). Deployed, this
+    materializes like the NB vocab / PageRank snapshots."""
     is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == 0
     buckets = (docs
                .select(is_target.alias("tgt"),
@@ -714,14 +721,21 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum((~F.col("tgt")).cast("long")).alias("r_cnt")))
     tot = buckets.agg(F.sum("t_cnt").alias("tt"),
                       F.sum("r_cnt").alias("rt"))
-    llr = (buckets.crossJoin(F.broadcast(tot))
-           .select("b", F.round(
-               (F.log((F.col("t_cnt") + 1).cast("double")
-                      / (F.col("tt") + DSIR_BUCKETS).cast("double"))
-                - F.log((F.col("r_cnt") + 1).cast("double")
-                        / (F.col("rt") + DSIR_BUCKETS)
-                        .cast("double"))) * 1000000)
-               .cast("long").alias("llr_u")))
+    return (buckets.crossJoin(F.broadcast(tot))
+            .select("b", F.round(
+                (F.log((F.col("t_cnt") + 1).cast("double")
+                       / (F.col("tt") + DSIR_BUCKETS).cast("double"))
+                 - F.log((F.col("r_cnt") + 1).cast("double")
+                         / (F.col("rt") + DSIR_BUCKETS)
+                         .cast("double"))) * 1000000)
+                .cast("long").alias("llr_u")))
+
+
+def dsir_score(docs: DataFrame, llr: DataFrame) -> DataFrame:
+    """The corpus-touching pass: fold each doc's word array against
+    the ≤512-entry broadcast bucket map — ZERO shuffle, stateless, so
+    the same body scores a STREAMING DataFrame unchanged (parity
+    pinned by tests/test_streaming.py); callers add any sort."""
     wmap = llr.agg(F.map_from_entries(
         F.collect_list(F.struct("b", "llr_u"))).alias("m"))
     return (docs
@@ -735,8 +749,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                         " cast(conv(substring(md5(x), 1, 14), 16, 10)"
                         f" as bigint) % {DSIR_BUCKETS}), 0L))")
                     .alias("dsir_u"))
-            .withColumn("selected", F.col("dsir_u") > 0)
-            .orderBy("doc_id"))
+            .withColumn("selected", F.col("dsir_u") > 0))
 
 
 ORACLE_DSIR = f"""

@@ -261,3 +261,29 @@ def test_streaming_nb_score_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_tokens, r.score_u, r.predicted_good)
             for r in nb_score(docs, weights).collect()}
     assert got == want
+
+
+def test_streaming_dsir_score_matches_batch(spark, tmp_path):
+    """dsir_score is the same stateless broadcast-map fold as nb_score
+    — the constant-size (<=512-entry) bucket map makes it the safer
+    streaming scorer (state cannot grow with vocabulary)."""
+    from pdf_extractor_spark.queries.curation import (dsir_score,
+                                                      dsir_train)
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+    llr = dsir_train(docs).localCheckpoint()
+    assert llr.count() <= 512  # the constant-size guarantee
+
+    sink = f"stream_dsir_{os.getpid()}"
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    q = (dsir_score(stream_docs, llr)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    _await(q)
+    got = {r.doc_id: (r.n_tokens, r.dsir_u, r.selected)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {r.doc_id: (r.n_tokens, r.dsir_u, r.selected)
+            for r in dsir_score(docs, llr).collect()}
+    assert got == want

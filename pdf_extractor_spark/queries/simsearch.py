@@ -519,7 +519,60 @@ ORDER BY query_id, rk
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table — the ANN
+    storage move at 10^9+ vectors: 4 bytes/dim → 1 byte/dim + one
+    per-vector scale, the format IVF/HNSW stores shard-side.
+    q_i = round(127 · v_i / max|v|), scale kept in integer micro-units.
+
+    Purely DOC-LOCAL arithmetic (one scan, zero shuffle before the
+    presentation sort): max|v| via an aggregate fold, the quantized
+    array via one transform — both engines run the identical
+    float32→double→round chain, so values are bit-exact without any
+    integer trick (cast-to-double is exact; IEEE mul/div of the same
+    inputs in the same order is deterministic). Output exploded to
+    (vec_id, i, qv) rows so the oracle hashes every element; zero
+    vectors quantize to all-zero (guarded division)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (emb
+            .select("vec_id", "embedding",
+                    F.expr("aggregate(embedding, cast(0 as double),"
+                           " (a, x) -> greatest(a, abs(cast(x as"
+                           " double))))").alias("m"))
+            .select("vec_id",
+                    F.expr("cast(round(m * 1000000) as bigint)")
+                    .alias("scale_u"),
+                    F.posexplode(F.expr(
+                        "transform(embedding, x -> CASE WHEN m = 0D"
+                        " THEN 0 ELSE cast(round(cast(x as double)"
+                        " * 127 / m) as int) END)"))
+                    .alias("i0", "qv"))
+            .select("vec_id", "scale_u",
+                    (F.col("i0") + 1).cast("long").alias("i"), "qv")
+            .orderBy("vec_id", "i"))
+
+
+ORACLE_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(ROUND(m * 1000000) AS BIGINT) AS scale_u,
+       CAST(i AS BIGINT) AS i,
+       CASE WHEN m = 0 THEN 0
+            ELSE CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 127 / m)
+                      AS INTEGER) END AS qv
+FROM m, LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                 AS i)
+ORDER BY vec_id, i
+"""
+
+
 QUERIES = {
+    "embedding_quantize": (q_embedding_quantize, ORACLE_QUANTIZE),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_BRUTEFORCE),
     "ann_bruteforce_numpy": (q_ann_bruteforce_numpy, None),
     "lsh_buckets": (q_lsh_buckets, ORACLE_BUCKETS),

@@ -650,6 +650,72 @@ FROM scored ORDER BY host, slot
 """
 
 
+CRAWL_BUDGET = 10_000  # global fetch slots per scheduling round
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str,
+                   rank: DataFrame = None) -> DataFrame:
+    """Crawl-budget apportionment: split a global per-round fetch
+    budget across hosts proportionally to PageRank, with
+    LARGEST-REMAINDER rounding (Hamilton's method — the public
+    apportionment algorithm) so the integer quotas sum to EXACTLY the
+    budget: base = floor(B·rank/total), and the leftover slots go to
+    the hosts with the largest remainders (host-name tie-break).
+
+    Exact integer arithmetic end to end: remainders are compared as
+    ``B·rank − base·total`` (int64; B·rank ≤ 10^4·10^9 = 10^13), never
+    as floats — both engines rank identically by construction. The
+    allocation table is |hosts|-sized, so the ranking window is a
+    deliberate small-table global window (the hosts-table analog of
+    pack_sequences' superbucket stage — at 10^8 hosts you'd
+    hierarchical it the same way); the corpus is never touched beyond
+    the rank table's own computation. Same deployed ``rank=`` hook as
+    the other schedulers."""
+    if rank is None:
+        rank = q_host_pagerank(spark, sf_dir)
+    tot = rank.agg(F.sum("rank_ppb").alias("tot"))
+    based = (rank.crossJoin(F.broadcast(tot))
+             .select("host", "rank_ppb",
+                     F.expr(f"({CRAWL_BUDGET}L * rank_ppb) div tot")
+                     .alias("base"),
+                     F.expr(f"{CRAWL_BUDGET}L * rank_ppb"
+                            f" - (({CRAWL_BUDGET}L * rank_ppb) div tot)"
+                            " * tot").alias("rem")))
+    leftover = based.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("base")).alias("l"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (based.crossJoin(F.broadcast(leftover))
+            .withColumn("rn", F.row_number().over(w))
+            .select("host", "rank_ppb",
+                    (F.col("base")
+                     + (F.col("rn") <= F.col("l")).cast("long"))
+                    .alias("quota"))
+            .orderBy("host"))
+
+
+def _crawl_budget_oracle() -> str:
+    return f"""
+WITH {_pagerank_cte()},
+tot AS (SELECT SUM(rank_ppb) AS tot FROM r{PR_ITERS}),
+based AS (
+  SELECT host, rank_ppb,
+         ({CRAWL_BUDGET} * rank_ppb) // tot AS base,
+         {CRAWL_BUDGET} * rank_ppb
+           - (({CRAWL_BUDGET} * rank_ppb) // tot) * tot AS rem
+  FROM r{PR_ITERS}, tot
+), lo AS (SELECT {CRAWL_BUDGET} - SUM(base) AS l FROM based),
+ranked AS (
+  SELECT host, rank_ppb, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM based
+)
+SELECT host, rank_ppb,
+       CAST(base + CASE WHEN rn <= l THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, lo ORDER BY host
+"""
+
+
 def _frontier_oracle() -> str:
     from .webcur import _crawl_canon_cte
     return f"""
@@ -680,6 +746,7 @@ ORDER BY rk
 
 ORACLE_FRONTIER_PRIORITY = _frontier_oracle()
 ORACLE_FETCH_SCHEDULE = _fetch_schedule_oracle()
+ORACLE_CRAWL_BUDGET = _crawl_budget_oracle()
 
 
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,4 +852,5 @@ QUERIES = {
     "host_degrees": (q_host_degrees, ORACLE_HOST_DEGREES),
     "frontier_priority": (q_frontier_priority, ORACLE_FRONTIER_PRIORITY),
     "fetch_schedule": (q_fetch_schedule, ORACLE_FETCH_SCHEDULE),
+    "crawl_budget": (q_crawl_budget, ORACLE_CRAWL_BUDGET),
 }

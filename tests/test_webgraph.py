@@ -280,3 +280,19 @@ class TestTriangles:
         got = {r.host: r.n_triangles
                for r in triangle_counts(und).collect()}
         assert got == want
+
+
+class TestCrawlBudget:
+    def test_quotas_sum_exactly_to_budget(self, spark):
+        """Hamilton largest-remainder invariant: integer quotas sum to
+        EXACTLY the budget (floor-only allocation under-shoots; naive
+        rounding can over-shoot), and every quota is within 1 of its
+        exact proportional share."""
+        from pdf_extractor_spark.queries.webgraph import (CRAWL_BUDGET,
+                                                          q_crawl_budget)
+        rows = q_crawl_budget(spark, "/root/testdata/sf0.001").collect()
+        assert sum(r.quota for r in rows) == CRAWL_BUDGET
+        tot = sum(r.rank_ppb for r in rows)
+        for r in rows:
+            exact = CRAWL_BUDGET * r.rank_ppb / tot
+            assert exact - 1 < r.quota < exact + 1

@@ -189,3 +189,19 @@ def test_trained_ivf_recall_vs_bruteforce(spark):
     print(f"\ntrained-IVF probe-{simsearch.IVF_PROBES} recall@"
           f"{simsearch.TOP_K}: {recall:.3f} ({len(ivf & exact)}/{len(exact)})")
     assert recall >= 0.6
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 ranking vs float ranking: cosine is scale-invariant so
+    quantization noise is the only divergence source — recall@5 on the
+    5-query set must stay high (collapse here would mean the
+    quantizer or the integer dot is wrong, not mere noise)."""
+    sf = "/root/testdata/sf0.01"
+    quant = {(r.query_id, r.neighbor_id)
+             for r in simsearch.q_ann_quantized_topk(spark, sf)
+             .collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in simsearch.q_ann_bruteforce_topk(spark, sf)
+             .collect()}
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.8, recall

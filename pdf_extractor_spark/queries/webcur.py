@@ -1287,13 +1287,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow/disallow pair on '/Docs/2' (the tie-break pin).
 
     Scale shape: a real rules table is per-host-small (UT1-blocklist
-    sized) — it BROADCASTS, the prefix test and the winner selection
-    run scan-side, and the winner aggregate is a plain int64 ``max``
-    (rule length and the allow bit encoded into ONE integer —
-    ``len*2 + allow`` — so map-side combine holds on hot keys; a
-    ``max(struct(...))`` here would fall back to SortAggregate). The
-    only exchange is the per-page aggregate (≤4 candidate rows per
-    page) plus the presentation sort."""
+    sized) — it broadcasts as ONE host→rules map column, and the
+    winner selection is a DOC-LOCAL fold over the page's own rule list
+    (rule length and the allow bit encoded into one int64 —
+    ``len*2 + allow`` — maxed inside the lambda), so the corpus never
+    shuffles at all: scan → project → presentation sort. The first
+    cut joined candidates out and grouped them back per page — a
+    2M-row string-keyed exchange that measured eff 0.716 at 500k docs;
+    this shape removed it (BENCH/BASELINE.md)."""
     docs = _t(spark, sf_dir, "documents")
     url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
     pages = (canonicalize_urls(url)
@@ -1317,13 +1318,18 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(1).alias("allow")))
         .union(hosts.select("host", F.lit("/Docs/2").alias("rule"),
                             F.lit(0).alias("allow"))))
-    cand = (pages.join(F.broadcast(rules), "host")
-            .filter(F.expr("substr(path, 1, length(rule)) = rule"))
-            .select("doc_id", "host", "path",
-                    (F.length("rule") * 2 + F.col("allow"))
-                    .cast("long").alias("score")))
-    return (cand.groupBy("doc_id", "host", "path")
-            .agg(F.max("score").alias("s"))
+    rmap = (rules
+            .groupBy("host")
+            .agg(F.collect_list(F.struct("rule", "allow")).alias("rs"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("host", "rs"))).alias("rm")))
+    return (pages.crossJoin(F.broadcast(rmap))
+            .select("doc_id", "host", "path", F.expr(
+                "aggregate(element_at(rm, host), cast(0 as bigint),"
+                " (acc, r) -> CASE WHEN substr(path, 1, length(r.rule))"
+                " = r.rule AND length(r.rule) * 2 + r.allow > acc"
+                " THEN cast(length(r.rule) * 2 + r.allow as bigint)"
+                " ELSE acc END)").alias("s"))
             .select("doc_id", "host", "path",
                     F.expr("s div 2").alias("matched_len"),
                     (F.col("s") % 2 == 1).alias("allowed"))

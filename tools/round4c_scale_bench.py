@@ -50,8 +50,33 @@ def build_docs_full(factor: int, path: str) -> None:
     stop_spark()
 
 
-def run_level(cpus: int, docs_dir: str, emb_dir: str, reps: int,
-              only=None) -> dict:
+def build_graph(n_edges: int, n_hosts: int, path: str) -> None:
+    """Deterministic hub-skewed undirected edge table (a, b) with
+    a < b: endpoint b is drawn from a RANDOM-width prefix [0, r), so
+    small ids become hubs (density ∝ 1/rank) — the wedge-explosion
+    adversary degree ordering exists for."""
+    if os.path.exists(path):
+        return
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.session import get_spark, stop_spark
+    spark = get_spark("r4c-graph", extra={
+        "spark.ui.showConsoleProgress": "false"})
+    e = (spark.range(n_edges)
+         .select(F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("x"),
+                 F.pmod(F.xxhash64(F.col("id") + 7),
+                        F.pmod(F.xxhash64(F.col("id") + 13),
+                               F.lit(n_hosts)) + 1).alias("y"))
+         .filter(F.col("x") != F.col("y"))
+         .select(F.least("x", "y").alias("a"),
+                 F.greatest("x", "y").alias("b"))
+         .distinct())
+    e.repartition(128).write.parquet(f"{path}/edges.parquet")
+    stop_spark()
+
+
+def run_level(cpus: int, docs_dir: str, emb_dir: str, graph_dir: str,
+              reps: int, only=None) -> dict:
     from pyspark.sql import functions as F
 
     from pdf_extractor_spark.queries.simsearch import \
@@ -94,6 +119,16 @@ def run_level(cpus: int, docs_dir: str, emb_dir: str, reps: int,
     timed("crawl_budget", lambda: q_crawl_budget(spark, docs_dir))
     timed("embedding_quantize",
           lambda: q_embedding_quantize(spark, emb_dir))
+    if (not only) or "triangles_synth" in only:
+        from pdf_extractor_spark.queries.webgraph import triangle_counts
+        und = spark.read.parquet(f"{graph_dir}/edges.parquet") \
+            .localCheckpoint()
+        timed("triangles_synth", lambda: triangle_counts(und))
+    if (not only) or "fetch_schedule_pre" in only:
+        from pdf_extractor_spark.queries.webgraph import q_host_pagerank
+        rank = q_host_pagerank(spark, docs_dir).localCheckpoint()
+        timed("fetch_schedule_pre",
+              lambda: q_fetch_schedule(spark, docs_dir, rank=rank))
     stop_spark()
     return out
 
@@ -106,18 +141,24 @@ def main() -> int:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--edges", type=int, default=5_000_000)
+    ap.add_argument("--graph-hosts", type=int, default=100_000)
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
     docs_dir = f"/tmp/r4c_scale_f{args.factor}"
     emb_dir = f"/tmp/emb_scale_n{args.vectors}_c{args.clusters}"
+    graph_dir = f"/tmp/r4c_graph_e{args.edges}_v{args.graph_hosts}"
     build_docs_full(args.factor, docs_dir)
     build_embeddings(args.vectors, args.clusters, emb_dir)
+    build_graph(args.edges, args.graph_hosts, graph_dir)
     os.system("sync")
     time.sleep(2)
 
-    lo = run_level(args.lo, docs_dir, emb_dir, args.reps, args.only)
-    hi = run_level(args.hi, docs_dir, emb_dir, args.reps, args.only)
+    lo = run_level(args.lo, docs_dir, emb_dir, graph_dir, args.reps,
+                   args.only)
+    hi = run_level(args.hi, docs_dir, emb_dir, graph_dir, args.reps,
+                   args.only)
     report = {"docs": 5000 * args.factor, "vectors": args.vectors,
               "lo_cpus": args.lo, "hi_cpus": args.hi,
               "reps": args.reps, "queries": {}}

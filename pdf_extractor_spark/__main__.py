@@ -22,6 +22,9 @@ of one PDF at a time, each command runs over a pages/documents table.
   python -m pdf_extractor_spark curate   --input PATH --output DIR
       [--host-cap K]   (web curation: canonical-URL recrawl collapse +
       per-host quota; writes DIR/kept + the per-capture DIR/audit)
+  python -m pdf_extractor_spark select   --input PATH --output DIR
+      (training-data selection: gopher composite verdict ∧ DSIR
+      above-mean importance; writes DIR/kept + per-doc DIR/audit)
   python -m pdf_extractor_spark synth    --output PATH --docs N
 
 `--input` accepts any parquet with the pages schema
@@ -289,6 +292,48 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """documents table → training-data selection: gopher composite
+    verdict ∧ DSIR importance selection, kept corpus + per-doc audit.
+    The scoring passes are doc-local folds composed in ONE scan of the
+    input (the fusion shape measured in BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from .queries.curation import dsir_score, dsir_train, gopher_filter
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    llr = dsir_train(docs).localCheckpoint()
+    verdicts = gopher_filter(docs).select("doc_id", "verdict")
+    scores = dsir_score(docs, llr)
+    # DSIR selection = above the corpus-mean weight (division-free
+    # integer comparison; see q_dsir_weights)
+    stats = scores.agg(F.sum("dsir_u").alias("s"),
+                       F.count("*").alias("n"))
+    scores = (scores.crossJoin(F.broadcast(stats))
+              .select("doc_id", "n_tokens", "dsir_u",
+                      (F.col("dsir_u") * F.col("n") > F.col("s"))
+                      .alias("selected")))
+    audit = (verdicts.join(scores, "doc_id")
+             .withColumn("kept", (F.col("verdict") == "kept")
+                         & F.col("selected")))
+    audit.write.mode("overwrite").parquet(f"{args.output}/audit")
+    audit_back = spark.read.parquet(f"{args.output}/audit")
+    kept_ids = audit_back.filter("kept").select("doc_id")
+    (docs.join(kept_ids, "doc_id", "left_semi")
+     .write.mode("overwrite").parquet(f"{args.output}/kept"))
+    counts = {(r["verdict"], r["selected"]): r["n"] for r in
+              audit_back.groupBy("verdict", "selected")
+              .agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    kept = sum(n for (v, s), n in counts.items()
+               if v == "kept" and s)
+    print(f"selected {kept}/{total} docs -> {args.output}: " +
+          ", ".join(f"{v}/dsir={s}: {n}"
+                    for (v, s), n in sorted(counts.items())))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.pages import synth_pages_df
 
@@ -372,6 +417,15 @@ def main(argv=None) -> int:
     p.add_argument("--host-cap", type=int, default=10)
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("select",
+                       help="documents table -> training selection "
+                            "(gopher verdict AND DSIR weight), kept "
+                            "corpus + per-doc audit")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_select)
 
     p = sub.add_parser("synth", help="write a deterministic pages corpus")
     p.add_argument("--output", required=True)

@@ -702,7 +702,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it; the only exchange is the presentation sort. The same
     stateless fold scores a streaming DataFrame unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    return dsir_score(docs, dsir_train(docs)).orderBy("doc_id")
+    scores = dsir_score(docs, dsir_train(docs))
+    # Selection = above the corpus-mean weight (the deterministic
+    # analog of DSIR's resampling step; a fixed >0 cut selects nothing
+    # when raw and target share a distribution — every add-one-
+    # smoothed LLR sum is negative). Division-free exact integer test:
+    # dsir_u·n > Σdsir_u avoids the trunc-vs-floor divide mismatch on
+    # negative sums (Spark `div` truncates, DuckDB `//` floors).
+    # int64 headroom: n·|dsir_u| — fine to ~10^11 docs; beyond that,
+    # compare against floor(Σ/n) computed once on the driver instead.
+    stats = scores.agg(F.sum("dsir_u").alias("s"),
+                       F.count("*").alias("n"))
+    return (scores.crossJoin(F.broadcast(stats))
+            .select("doc_id", "n_tokens", "dsir_u",
+                    (F.col("dsir_u") * F.col("n") > F.col("s"))
+                    .alias("selected"))
+            .orderBy("doc_id"))
 
 
 def dsir_train(docs: DataFrame) -> DataFrame:
@@ -748,8 +763,7 @@ def dsir_score(docs: DataFrame, llr: DataFrame) -> DataFrame:
                         " acc + coalesce(element_at(m,"
                         " cast(conv(substring(md5(x), 1, 14), 16, 10)"
                         f" as bigint) % {DSIR_BUCKETS}), 0L))")
-                    .alias("dsir_u"))
-            .withColumn("selected", F.col("dsir_u") > 0))
+                    .alias("dsir_u")))
 
 
 ORACLE_DSIR = f"""
@@ -780,9 +794,11 @@ WITH tok AS (
   LEFT JOIN tok t ON t.doc_id = d.doc_id
   LEFT JOIN llr l ON l.b = t.b
   GROUP BY d.doc_id
+), stats AS (
+  SELECT SUM(dsir_u) AS s, COUNT(*) AS n FROM scored
 )
-SELECT doc_id, n_tokens, dsir_u, dsir_u > 0 AS selected
-FROM scored ORDER BY doc_id
+SELECT doc_id, n_tokens, dsir_u, dsir_u * n > s AS selected
+FROM scored, stats ORDER BY doc_id
 """
 
 

@@ -295,3 +295,27 @@ def test_curate_cli_recaptures_do_not_leak(spark, tmp_path):
     assert kept_keys == audit_kept_keys
     for u, t in kept_keys:
         assert t != ts(2)  # no unchanged recapture leaked
+
+
+@pytest.mark.spark
+def test_select_cli_writes_kept_and_audit(spark, tmp_path):
+    """CLI wiring over gopher_filter + DSIR: audit covers every doc,
+    the kept corpus is exactly the (verdict='kept' AND selected)
+    subset, and both rules actually bind on the sf corpus."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "sel")
+    assert cli_main(["select", "--input", src, "--output", out]) == 0
+    audit = spark.read.parquet(f"{out}/audit")
+    kept = spark.read.parquet(f"{out}/kept")
+    n_docs = spark.read.parquet(src).count()
+    assert audit.count() == n_docs
+    kept_ids = {r.doc_id for r in
+                audit.filter("kept").select("doc_id").collect()}
+    assert {r.doc_id for r in kept.select("doc_id").collect()} \
+        == kept_ids
+    # both filters bind: some docs fail gopher, some fail dsir
+    assert audit.filter("verdict <> 'kept'").count() > 0
+    assert audit.filter("verdict = 'kept' AND NOT selected").count() > 0
+    assert 0 < len(kept_ids) < n_docs

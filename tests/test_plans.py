@@ -461,6 +461,19 @@ class TestRound4Plans:
         assert plan.count("Partial") >= 1 and \
             plan.index("WindowGroupLimit") < len(plan), plan
 
+    def test_robots_verdict_is_broadcast_fold(self, spark):
+        """The corpus-touching pass of robots_filter must be a
+        doc-local fold over the broadcast rules map — no window, no
+        sort-merge join, no corpus exchange; the only aggregates build
+        the tiny host→rules map."""
+        from pdf_extractor_spark.queries import webcur
+        plan = plan_of(webcur.q_robots_filter(spark, SF_DIR))
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert "element_at" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan, plan
+
     def test_dedup_sentences_window_and_hot_join_free(self, spark):
         """First-wins sentence dedup must survive the universal-
         boilerplate hot key: the winner per unit is a hash AGGREGATE

@@ -282,8 +282,8 @@ def test_streaming_dsir_score_matches_batch(spark, tmp_path):
          .writeStream.format("memory").queryName(sink)
          .outputMode("append").trigger(availableNow=True).start())
     _await(q)
-    got = {r.doc_id: (r.n_tokens, r.dsir_u, r.selected)
+    got = {r.doc_id: (r.n_tokens, r.dsir_u)
            for r in spark.sql(f"SELECT * FROM {sink}").collect()}
-    want = {r.doc_id: (r.n_tokens, r.dsir_u, r.selected)
+    want = {r.doc_id: (r.n_tokens, r.dsir_u)
             for r in dsir_score(docs, llr).collect()}
     assert got == want

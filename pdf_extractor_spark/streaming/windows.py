@@ -197,3 +197,61 @@ def streaming_extract(spark: SparkSession, source_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_upsert_latest(spark: SparkSession, source_dir: str,
+                            checkpoint_dir: str, out_dir: str):
+    """MERGE/upsert sink semantics: maintain a LATEST-CAPTURE-PER-URL
+    materialized table from the capture stream — each micro-batch
+    merges its rows into the table, replacing any older capture of the
+    same url (latest ``warc_ts`` wins; ties keep the lexically larger
+    text for determinism). This is the sink class the append-only
+    ``streaming_extract`` cannot express: re-captures UPDATE rows
+    instead of accumulating.
+
+    Exactly-once: latest-wins merge is IDEMPOTENT, so a replayed batch
+    (restart re-runs the last uncommitted foreachBatch) converges to
+    the same table; the two-generation directory swap keeps the read
+    and write sides of the merge on different paths (overwriting the
+    parquet dir being read is undefined).
+
+    Scale note: this demo rewrites the whole table per batch — the
+    local-parquet stand-in for what a table format does with file
+    pruning (Iceberg MERGE INTO rewrites only matched files). The
+    MERGE itself is one keyed aggregate: max_by(struct(capture),
+    (warc_ts, text)) per url, map-side combinable."""
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+
+    def _gen_paths(batch_id: int):
+        return (f"{out_dir}/gen={batch_id % 2}",
+                f"{out_dir}/gen={(batch_id + 1) % 2}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        write_gen, read_gen = _gen_paths(batch_id)
+        try:
+            cur = batch_df.sparkSession.read.parquet(read_gen)
+            merged = cur.unionByName(batch_df)
+        except Exception:
+            merged = batch_df  # first batch: no table yet
+        latest = (merged
+                  .groupBy("url")
+                  .agg(F.max_by(
+                      F.struct("warc_ts", "html", "text", "lang"),
+                      F.struct("warc_ts", "text")).alias("r"))
+                  .select("url", "r.warc_ts", "r.html", "r.text",
+                          "r.lang"))
+        latest.write.mode("overwrite").parquet(write_gen)
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_upsert_table(spark: SparkSession, out_dir: str,
+                      last_batch_id: int) -> DataFrame:
+    """Read the live generation written by batch ``last_batch_id``."""
+    return spark.read.parquet(f"{out_dir}/gen={last_batch_id % 2}")

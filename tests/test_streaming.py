@@ -287,3 +287,64 @@ def test_streaming_dsir_score_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_tokens, r.dsir_u)
             for r in dsir_score(docs, llr).collect()}
     assert got == want
+
+
+def test_streaming_upsert_latest_wins(spark, tmp_path):
+    """MERGE/upsert sink: recaptures UPDATE the per-url table (latest
+    warc_ts wins), a LATE OLDER capture cannot regress a newer row,
+    and a checkpoint restart leaves the table unchanged (idempotent
+    latest-wins merge)."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming.windows import (
+        read_upsert_table, streaming_upsert_latest)
+
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "tbl")
+
+    def write_pages(rows, name):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                        "text", "lang"]),
+            schema=("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string"))
+        stage = os.path.join(staging, name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(part, os.path.join(src, name))
+
+    t = lambda h: dt.datetime(2025, 6, 1, h)
+    write_pages([("https://a.example/x", t(1), None, "v1", "en"),
+                 ("https://b.example/y", t(1), None, "b1", "en")],
+                "b1.parquet")
+    _time.sleep(1.1)
+    write_pages([("https://a.example/x", t(2), None, "v2", "en"),
+                 ("https://c.example/z", t(1), None, "c1", "en")],
+                "b2.parquet")
+    _time.sleep(1.1)
+    # late OLDER capture of b.example/y — must not replace t(1)'s row
+    write_pages([("https://b.example/y", t(0), None, "old", "en")],
+                "b3.parquet")
+
+    q = streaming_upsert_latest(spark, src, ckpt, out)
+    _await(q)
+    live = read_upsert_table(spark, out, last_batch_id=2)
+    got = {r.url: (r.warc_ts, r.text) for r in live.collect()}
+    assert got == {"https://a.example/x": (t(2), "v2"),
+                   "https://b.example/y": (t(1), "b1"),
+                   "https://c.example/z": (t(1), "c1")}
+
+    # restart on the same checkpoint: no new batches, table unchanged
+    q2 = streaming_upsert_latest(spark, src, ckpt, out)
+    _await(q2)
+    again = {r.url: (r.warc_ts, r.text)
+             for r in read_upsert_table(spark, out, 2).collect()}
+    assert again == got

@@ -834,7 +834,60 @@ ORDER BY event_id
 # first 50 registry entries and relational is last): queries whose
 # semantics changed most recently go first so their rows stay inside
 # the window; the tail is the longest-green TPC-H-shape demos.
+def q_orders_above_customer_avg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery decorrelation (the TPC-H Q17/Q22
+    pattern): orders whose price strictly exceeds THEIR OWN customer's
+    average order price. The correlated form re-evaluates the average
+    per outer row; the decorrelated plan is ONE per-customer aggregate
+    (map-side combinable) joined back to the fact — the shape Catalyst
+    itself rewrites subqueries into, written explicitly so the
+    exchange story is visible: one agg + one customer-keyed join.
+
+    No-float rule: prices travel as integer CENTS, and the comparison
+    multiplies through by the order count (``cents·n > total_cents``,
+    int64-exact in both engines) instead of dividing — same move as
+    the DSIR mean threshold. ratio_bp is a positive int div (trunc ≡
+    floor for positives)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)")
+        .alias("cents"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"))
+    return (orders.join(per_cust, "o_custkey")
+            .filter(F.col("cents") * F.col("n_orders")
+                    > F.col("total_cents"))
+            .select("o_orderkey", "o_custkey", "cents", "n_orders",
+                    F.expr("(10000 * cents * n_orders)"
+                           " div total_cents").alias("ratio_bp"))
+            .orderBy("o_orderkey"))
+
+
+ORACLE_ABOVE_AVG = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), pc AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(cents) AS total_cents
+  FROM o GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.cents,
+       CAST(pc.n_orders AS BIGINT) AS n_orders,
+       CAST((10000 * o.cents * pc.n_orders) // pc.total_cents
+            AS BIGINT) AS ratio_bp
+FROM o JOIN pc USING (o_custkey)
+WHERE o.cents * pc.n_orders > pc.total_cents
+ORDER BY o.o_orderkey
+"""
+
+
 QUERIES = {
+    "orders_above_customer_avg": (q_orders_above_customer_avg,
+                                  ORACLE_ABOVE_AVG),
     # dict family — dictionary widened + fuzzy band re-tuned in r03
     "word_semi_join": (q_word_semi_join, ORACLE_SEMI),
     "word_anti_join": (q_word_anti_join, ORACLE_ANTI),

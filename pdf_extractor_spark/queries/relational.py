@@ -885,7 +885,64 @@ ORDER BY o.o_orderkey
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """σ-band anomaly detection on the hourly event-rate series — the
+    ops-side monitor every ingestion pipeline runs: flag (type, hour)
+    cells whose count leaves the type's ±2σ band.
+
+    Fully INTEGER-EXACT flagging (the no-float rule applied to a
+    statistic that is usually computed in doubles): |x−μ| > 2σ with
+    μ = s/n, σ² = q/n − s²/n² multiplies through by n² into
+    ``(x·n − s)² > 4·(q·n − s²)`` — all int64 (headroom: per-type
+    hourly counts up to ~3·10^4 over ~10^3 hours keep every term
+    < 2^63; beyond that, decimals). No sqrt, no division, no
+    engine-rounding hazard anywhere.
+
+    Shape: one keyed hourly aggregate (map-side combined), a per-type
+    1-row-per-key stats aggregate, and a broadcast join back —
+    the hourly table, never the event stream, flows into the join."""
+    events = _t(spark, sf_dir, "events")
+    hour_ntz = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+    hourly = (events.groupBy(hour_ntz.alias("hour"), "event_type")
+              .agg(F.count("*").alias("x")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+                  F.sum(F.col("x") * F.col("x")).alias("q")))
+    dev2 = ((F.col("x") * F.col("n") - F.col("s"))
+            * (F.col("x") * F.col("n") - F.col("s")))
+    band = F.lit(4) * (F.col("q") * F.col("n")
+                       - F.col("s") * F.col("s"))
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .select("event_type", "hour", F.col("x").alias("n_events"),
+                    (dev2 > band).alias("anomaly"))
+            .filter(F.col("anomaly"))
+            .orderBy("event_type", "hour"))
+
+
+ORACLE_EVENTS_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.x AS n_events,
+       (h.x * st.n - st.s) * (h.x * st.n - st.s)
+         > 4 * (st.q * st.n - st.s * st.s) AS anomaly
+FROM hourly h JOIN st USING (event_type)
+WHERE (h.x * st.n - st.s) * (h.x * st.n - st.s)
+        > 4 * (st.q * st.n - st.s * st.s)
+ORDER BY h.event_type, h.hour
+"""
+
+
 QUERIES = {
+    "events_anomalies": (q_events_anomalies, ORACLE_EVENTS_ANOMALIES),
     "orders_above_customer_avg": (q_orders_above_customer_avg,
                                   ORACLE_ABOVE_AVG),
     # dict family — dictionary widened + fuzzy band re-tuned in r03

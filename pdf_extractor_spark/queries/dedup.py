@@ -844,6 +844,75 @@ ORDER BY label
 BENCHMARK_MOD = 97  # every 97th doc stands in for a held-out benchmark
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed dedup pass — what a user actually runs before
+    training: one verdict row per document attributing every drop to
+    its stage and naming the representative kept in its place:
+
+    - ``exact_dup``: another doc with byte-identical text and a lower
+      id exists (rep = that keeper);
+    - ``near_dup``: the doc is an exact keeper but its MinHash-LSH
+      component (fixed CLUSTER_ROUNDS min-label propagation — the
+      ORACLE_CLUSTERS contract) has a lower-id member (rep = the
+      component minimum);
+    - ``kept``: the doc survives both stages (rep = itself).
+
+    The component minimum is always an exact keeper (identical text ⇒
+    identical signatures ⇒ same buckets ⇒ connected, so a keeper with
+    a smaller id would be in the same component), so near-dup reps are
+    never themselves exact duplicates — the kept set is closed.
+
+    Scale shape: stage 1 is the 16-byte-hash groupBy; stage 2 is the
+    star-edge LSH + narrow label propagation (both measured separately
+    in BENCH/BASELINE.md); the verdict assembly is two doc_id-keyed
+    joins of narrow tables."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    w = Window.partitionBy("th")
+    exact = (docs.select("doc_id", F.md5("text").alias("th"))
+             .withColumn("ek", F.min("doc_id").over(w))
+             .select("doc_id", "ek"))
+    edges = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ran = propagate_min_labels(ids, edges,
+                                        rounds=CLUSTER_ROUNDS)
+    return (exact.join(labels, "doc_id")
+            .select("doc_id",
+                    F.when(F.col("ek") != F.col("doc_id"),
+                           F.lit("exact_dup"))
+                    .when(F.col("label") != F.col("doc_id"),
+                          F.lit("near_dup"))
+                    .otherwise(F.lit("kept")).alias("verdict"),
+                    F.when(F.col("ek") != F.col("doc_id"), F.col("ek"))
+                    .otherwise(F.col("label")).alias("representative"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_PIPELINE = f"""
+WITH {_SIGS_SQL},
+{_BANDS_STARRED_SQL.strip()}, edges AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM starred WHERE doc_id <> rep
+  GROUP BY rep, doc_id
+), undirected AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), l0 AS (
+  SELECT doc_id, doc_id AS label FROM documents
+){_ROUNDS_SQL},
+exact AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS ek
+  FROM documents
+)
+SELECT e.doc_id,
+       CASE WHEN e.ek <> e.doc_id THEN 'exact_dup'
+            WHEN l.label <> e.doc_id THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN e.ek <> e.doc_id THEN e.ek
+            ELSE l.label END AS representative
+FROM exact e JOIN l{CLUSTER_ROUNDS} l ON l.doc_id = e.doc_id
+ORDER BY e.doc_id
+"""
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Benchmark-contamination detection — the pre-training hygiene
@@ -951,6 +1020,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_CLUSTERS),
     "dedup_clusters_converged": (q_dedup_clusters_converged,
                                  ORACLE_CLUSTERS_CONVERGED),
+    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
     "benchmark_contamination": (q_benchmark_contamination,
                                 ORACLE_CONTAMINATION),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),

@@ -205,3 +205,29 @@ def test_quantized_topk_recall_vs_float(spark):
              .collect()}
     recall = len(quant & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_dedup_pipeline_verdicts_and_closure(spark, tmp_path):
+    """All three verdict classes on a constructed corpus, plus the
+    closure property: every representative is itself 'kept' (the
+    component minimum can never be an exact duplicate)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),                      # kept (cluster rep)
+        (2, base),                      # exact_dup of 1
+        (3, base + " extra"),           # near_dup of 1 (shares shingles)
+        (4, "totally different words entirely unrelated content here "
+            "with nothing shared at all among these tokens one two"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.verdict, r.representative)
+           for r in dedup.q_dedup_pipeline(spark, sf).collect()}
+    assert got[1] == ("kept", 1)
+    assert got[2] == ("exact_dup", 1)
+    assert got[3] == ("near_dup", 1)
+    assert got[4] == ("kept", 4)
+    kept = {d for d, (v, _r) in got.items() if v == "kept"}
+    assert all(r in kept for _v, r in got.values())

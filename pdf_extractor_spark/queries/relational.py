@@ -906,9 +906,26 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
     hourly = (events.groupBy(hour_ntz.alias("hour"), "event_type")
               .agg(F.count("*").alias("x")))
-    stats = (hourly.groupBy("event_type")
-             .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
-                  F.sum(F.col("x") * F.col("x")).alias("q")))
+    return (anomaly_flag(hourly, anomaly_stats(hourly))
+            .orderBy("event_type", "hour"))
+
+
+def anomaly_stats(hourly: DataFrame) -> DataFrame:
+    """Train once per snapshot: per-type (n, s, q) over the hourly
+    (event_type, hour, x) table — the nb/dsir materialize-and-reuse
+    pattern applied to the rate monitor."""
+    return (hourly.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+                 F.sum(F.col("x") * F.col("x")).alias("q")))
+
+
+def anomaly_flag(hourly: DataFrame, stats: DataFrame) -> DataFrame:
+    """Stream-legal scoring body: flag hourly cells outside the
+    trained ±2σ band via the integer comparison (see
+    q_events_anomalies). A broadcast stream-static join + a stateless
+    filter, so the same body scores a watermarked streaming window agg
+    unchanged (tests/test_streaming.py pins parity); callers add any
+    presentation sort."""
     dev2 = ((F.col("x") * F.col("n") - F.col("s"))
             * (F.col("x") * F.col("n") - F.col("s")))
     band = F.lit(4) * (F.col("q") * F.col("n")
@@ -916,8 +933,7 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hourly.join(F.broadcast(stats), "event_type")
             .select("event_type", "hour", F.col("x").alias("n_events"),
                     (dev2 > band).alias("anomaly"))
-            .filter(F.col("anomaly"))
-            .orderBy("event_type", "hour"))
+            .filter(F.col("anomaly")))
 
 
 ORACLE_EVENTS_ANOMALIES = """

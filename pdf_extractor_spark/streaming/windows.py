@@ -56,6 +56,29 @@ def streaming_event_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_event_anomalies(spark: SparkSession, source_dir: str,
+                              stats, window: str = "1 hour",
+                              watermark: str = "0 seconds"):
+    """Live rate monitoring: the watermarked tumbling-window count
+    stream scored against BATCH-TRAINED per-type σ-band stats
+    (``queries.relational.anomaly_stats`` — the nb/dsir train-batch/
+    score-stream pattern). The scoring join is stream-static +
+    broadcast (stateless), so the only stateful operator is the
+    window agg; append mode emits a (type, hour) cell once its window
+    finalizes, flagged iff outside the trained band."""
+    from ..queries.relational import anomaly_flag
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(source_dir))
+    hourly = (stream
+              .withWatermark("ts", watermark)
+              .groupBy(F.window("ts", window).alias("win"), "event_type")
+              .agg(F.count("*").alias("x"))
+              .select("event_type", F.col("win.start").alias("hour"),
+                      "x"))
+    return anomaly_flag(hourly, stats)
+
+
 def streaming_conversion_join(spark: SparkSession, source_dir: str,
                               watermark: str = "2 hours") -> DataFrame:
     """Watermarked STREAM-STREAM inner join — the missing §2.9 shape:

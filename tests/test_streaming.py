@@ -348,3 +348,70 @@ def test_streaming_upsert_latest_wins(spark, tmp_path):
     again = {r.url: (r.warc_ts, r.text)
              for r in read_upsert_table(spark, out, 2).collect()}
     assert again == got
+
+
+def test_streaming_anomalies_match_batch(spark, tmp_path):
+    """Rate-monitor trilogy closer: the watermarked window-count
+    stream scored against batch-trained sigma-band stats equals the
+    batch flags for every FINALIZED window (a far-future sentinel
+    advances the watermark past all real windows; its own window stays
+    in state and is excluded from the expectation)."""
+    import datetime as dt
+
+    from pdf_extractor_spark.queries.relational import (anomaly_flag,
+                                                        anomaly_stats)
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_event_anomalies
+
+    import glob
+    import shutil
+    import time as _time
+
+    src = str(tmp_path / "events_src")
+    staging = str(tmp_path / "staging")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    far = dt.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(999999, far, 0, "error", 0.0, "{}")], ev.schema)
+
+    # TIME-ORDERED batches (mtime-ordered single files): with a 0s
+    # watermark delay a random split would drop later files' rows as
+    # late; ordered chunks advance the watermark monotonically with
+    # no drops, and the sentinel finalizes every real window
+    rows = ev.orderBy("ts").collect()
+    chunks = [rows[:400], rows[400:700], rows[700:]]
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(chunk, ev.schema)
+        stage = f"{staging}/c{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0],
+                    f"{src}/c{i}.parquet")
+        _time.sleep(1.1)
+    stage = f"{staging}/sent"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0],
+                f"{src}/sent.parquet")
+
+    hourly = (spark.read.parquet(src)
+              .groupBy(F.window("ts", "1 hour").alias("win"),
+                       "event_type")
+              .agg(F.count("*").alias("x"))
+              .select("event_type", F.col("win.start").alias("hour"),
+                      "x"))
+    stats = anomaly_stats(hourly).localCheckpoint()
+
+    sink = f"stream_anom_{os.getpid()}"
+    q = (streaming_event_anomalies(spark, src, stats)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {(r.event_type, r.hour, r.n_events, r.anomaly)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+
+    want = {(r.event_type, r.hour, r.n_events, r.anomaly)
+            for r in anomaly_flag(hourly, stats).collect()
+            if r.hour < far}   # sentinel's own window never finalizes
+    assert len(want) > 0
+    assert got == want

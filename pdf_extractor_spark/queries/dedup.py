@@ -913,6 +913,105 @@ ORDER BY e.doc_id
 """
 
 
+INCR_MOD = 3  # every 3rd doc plays today's incoming batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-increment shape: dedup an
+    incoming batch against the EXISTING corpus without recomputing
+    anything over the existing side beyond its (materialized) hash and
+    band tables. Here every ``INCR_MOD``-th doc plays the incoming
+    batch; the rest are "yesterday's corpus".
+
+    Verdicts per incoming doc (precedence exact > near):
+    - ``exact_dup``: an existing doc has byte-identical text
+      (16-byte-hash semi-join; rep = the minimum such doc);
+    - ``near_dup``: shares ≥1 LSH band bucket with an existing doc
+      (band-key equi-join; rep = the minimum bucket-mate);
+    - ``new``: neither (rep null) — the only rows that enter the
+      corpus.
+
+    Scale shape: both probes are KEYED joins of the incoming batch
+    against tables the pipeline materializes once per snapshot (hash
+    table, band table — the PageRank/NB-vocab pattern); incoming-batch
+    size, not corpus size, drives the work per increment, and no
+    incoming×incoming or existing×existing pair is ever formed."""
+    docs = _t(spark, sf_dir, "documents")
+    is_inc = (F.col("doc_id") % INCR_MOD) == 0
+    inc_ids = docs.filter(is_inc).select("doc_id")
+    ex_hash = (docs.filter(~is_inc)
+               .groupBy(F.md5("text").alias("th"))
+               .agg(F.min("doc_id").alias("ex_min")))
+    inc_hash = docs.filter(is_inc).select(
+        "doc_id", F.md5("text").alias("th"))
+    exact = (inc_hash.join(ex_hash, "th")
+             .groupBy("doc_id").agg(F.min("ex_min").alias("exact_rep")))
+    sigs = _minhash_sigs(spark, sf_dir) \
+        .withColumn("band", F.floor(F.col("j") / LSH_ROWS).cast("int"))
+    slot = lambda k: F.max(F.when(F.col("j") % LSH_ROWS == k,
+                                  F.col("sig")))
+    bands = (sigs.groupBy("doc_id", "band")
+             .agg(F.concat_ws("-", slot(0).cast("string"),
+                              slot(1).cast("string"),
+                              slot(2).cast("string"),
+                              slot(3).cast("string")).alias("band_key")))
+    ex_bands = (bands.filter((F.col("doc_id") % INCR_MOD) != 0)
+                .groupBy("band", "band_key")
+                .agg(F.min("doc_id").alias("ex_min")))
+    near = (bands.filter((F.col("doc_id") % INCR_MOD) == 0)
+            .join(ex_bands, ["band", "band_key"])
+            .groupBy("doc_id").agg(F.min("ex_min").alias("near_rep")))
+    return (inc_ids
+            .join(exact, "doc_id", "left").join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("exact_rep").isNotNull(),
+                           F.lit("exact_dup"))
+                    .when(F.col("near_rep").isNotNull(),
+                          F.lit("near_dup"))
+                    .otherwise(F.lit("new")).alias("verdict"),
+                    F.coalesce("exact_rep", "near_rep")
+                    .alias("representative"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_SIGS_SQL},
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT) AS band,
+         MAX(CASE WHEN j % {LSH_ROWS} = 0 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 1 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 2 THEN CAST(sig AS VARCHAR) END) || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 3 THEN CAST(sig AS VARCHAR) END)
+           AS band_key
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT)
+), ex_hash AS (
+  SELECT md5(text) AS th, MIN(doc_id) AS ex_min FROM documents
+  WHERE doc_id % {INCR_MOD} <> 0 GROUP BY md5(text)
+), exact AS (
+  SELECT d.doc_id, MIN(e.ex_min) AS exact_rep
+  FROM documents d JOIN ex_hash e ON e.th = md5(d.text)
+  WHERE d.doc_id % {INCR_MOD} = 0 GROUP BY d.doc_id
+), ex_bands AS (
+  SELECT band, band_key, MIN(doc_id) AS ex_min FROM bands
+  WHERE doc_id % {INCR_MOD} <> 0 GROUP BY band, band_key
+), near AS (
+  SELECT b.doc_id, MIN(e.ex_min) AS near_rep
+  FROM bands b JOIN ex_bands e USING (band, band_key)
+  WHERE b.doc_id % {INCR_MOD} = 0 GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN x.exact_rep IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_rep IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(x.exact_rep, n.near_rep) AS representative
+FROM documents d
+LEFT JOIN exact x ON x.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+WHERE d.doc_id % {INCR_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Benchmark-contamination detection — the pre-training hygiene
@@ -1021,6 +1120,8 @@ QUERIES = {
     "dedup_clusters_converged": (q_dedup_clusters_converged,
                                  ORACLE_CLUSTERS_CONVERGED),
     "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
+    "dedup_incremental": (q_dedup_incremental,
+                          ORACLE_DEDUP_INCREMENTAL),
     "benchmark_contamination": (q_benchmark_contamination,
                                 ORACLE_CONTAMINATION),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH_SIGS),

@@ -231,3 +231,37 @@ def test_dedup_pipeline_verdicts_and_closure(spark, tmp_path):
     assert got[4] == ("kept", 4)
     kept = {d for d, (v, _r) in got.items() if v == "kept"}
     assert all(r in kept for _v, r in got.values())
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Incoming-batch verdicts against the existing corpus: exact
+    (byte-identical text), near (shares an LSH bucket), new — and an
+    incoming×incoming duplicate pair must BOTH stay 'new' (increments
+    dedup against the corpus, not within themselves; the within-batch
+    pass is dedup_pipeline's job after admission)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    rows = [
+        # existing corpus: doc_id % 3 != 0
+        (1, base),
+        (2, other),
+        # incoming batch: doc_id % 3 == 0
+        (3, base),              # exact_dup of 1
+        (6, base + " tail"),    # near_dup of 1
+        (9, "completely unrelated fresh document words entirely "
+            "novel content here nothing shared with the corpus at"),
+        (12, "completely unrelated fresh document words entirely "
+             "novel content here nothing shared with the corpus at"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.verdict, r.representative)
+           for r in dedup.q_dedup_incremental(spark, sf).collect()}
+    assert got[3] == ("exact_dup", 1)
+    assert got[6] == ("near_dup", 1)
+    # 9 and 12 duplicate EACH OTHER but nothing existing -> both new
+    assert got[9] == ("new", None)
+    assert got[12] == ("new", None)

@@ -114,6 +114,27 @@ def main() -> None:
          search.q_bm25_topk(spark, SF_DIR)),
     ])
 
+    sections.extend([
+        ("DSIR scoring fold (constant 512-entry broadcast map; "
+         "doc-local aggregate+element_at — the corpus never shuffles; "
+         "training aggregate onto <=512 keys)",
+         curation.q_dsir_weights(spark, SF_DIR)),
+        ("tf-idf key terms (doc-local sort+run-length term counts — "
+         "no token-stream exchange; Partial WindowGroupLimit prunes "
+         "to k rows per doc below the doc_id exchange)",
+         search.q_tfidf_keyterms(spark, SF_DIR)),
+        ("Robots longest-prefix verdict (broadcast host→rules map, "
+         "int64 max fold inside the lambda; scan→project→sort, zero "
+         "corpus exchange)", webcur.q_robots_filter(spark, SF_DIR)),
+        ("Conversion attribution (stream-stream-shaped interval join; "
+         "ONE user_id-keyed shuffle — or zero Exchange over bucketed "
+         "events, see test_bucketing.py)",
+         temporal.q_conversion_attribution(spark, SF_DIR)),
+        ("Degree-ordered triangle counting (wedges only at each "
+         "edge's low endpoint; closure via semi-join — O(m^1.5) "
+         "wedge volume)", webgraph.q_host_triangles(spark, SF_DIR)),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out, "w") as f:

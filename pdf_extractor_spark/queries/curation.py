@@ -187,10 +187,23 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_filter(docs: DataFrame) -> DataFrame:
     """The filter body: any DataFrame (batch or streaming) with
     (doc_id, text) in, one verdict row per document out."""
-    docs = docs \
-        .select("doc_id", F.expr(_W_EXPR).alias("w")) \
+    return with_quality(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "wlen_bp", "dup_bp", "top_bp", "verdict")
+
+
+def with_quality(df: DataFrame) -> DataFrame:
+    """APPEND the gopher signals + verdict to any DataFrame carrying a
+    ``text`` column — every input column survives, everything added is
+    a doc-local projection (zero shuffle), so the extraction CLI can
+    attach quality verdicts in the SAME scan that extracts
+    (``extract --with-quality``)."""
+    for c in ("w", "bg"):
+        if c in df.columns:
+            raise ValueError(f"with_quality: input already has '{c}'")
+    staged = df \
+        .withColumn("w", F.expr(_W_EXPR)) \
         .withColumn("bg", F.expr(_BG_EXPR))
-    joined = (docs
+    joined = (staged
               .withColumn("n_words", F.size("w").cast("long"))
               .withColumn(
                   "sum_len",
@@ -207,13 +220,13 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
                                  "(10000 * sum_len) div n_words)"))
               .withColumn("nb", F.size("bg").cast("long"))
               .withColumn("top", F.expr(_mode_fold("bg")))
-              .select(
-                  "doc_id", "n_words", "wlen_bp",
-                  F.expr("IF(nb = 0, CAST(0 AS BIGINT), "
-                         "(10000 * (nb - CAST(size(array_distinct(bg)) "
-                         "AS BIGINT))) div nb)").alias("dup_bp"),
-                  F.expr("IF(nb = 0, CAST(0 AS BIGINT), "
-                         "(10000 * top.c) div nb)").alias("top_bp")))
+              .withColumn("dup_bp", F.expr(
+                  "IF(nb = 0, CAST(0 AS BIGINT), "
+                  "(10000 * (nb - CAST(size(array_distinct(bg)) "
+                  "AS BIGINT))) div nb)"))
+              .withColumn("top_bp", F.expr(
+                  "IF(nb = 0, CAST(0 AS BIGINT), "
+                  "(10000 * top.c) div nb)")))
     verdict = (
         F.when(F.col("n_words") < MIN_WORDS, "too_few_words")
         .when((F.col("wlen_bp") < WLEN_MIN_BP)
@@ -221,7 +234,8 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         .when(F.col("dup_bp") >= DUP_BG_MAX_BP, "repetition")
         .when(F.col("top_bp") >= TOP_BG_MAX_BP, "top_ngram")
         .otherwise("kept"))
-    return joined.withColumn("verdict", verdict)
+    return (joined.withColumn("verdict", verdict)
+            .drop("w", "bg", "sum_len", "nb", "top"))
 
 
 ORACLE_GOPHER = _GRAMS_CTE + f""", bg AS (

@@ -319,3 +319,27 @@ def test_select_cli_writes_kept_and_audit(spark, tmp_path):
     assert audit.filter("verdict <> 'kept'").count() > 0
     assert audit.filter("verdict = 'kept' AND NOT selected").count() > 0
     assert 0 < len(kept_ids) < n_docs
+
+
+@pytest.mark.spark
+def test_extract_with_quality_single_scan(spark, tmp_path):
+    """--with-quality appends the gopher signals + verdict to the
+    extraction output as projections on the same scan; the verdict
+    must equal gopher_filter run on the extracted text."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+    from pdf_extractor_spark.queries.curation import gopher_filter
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "ext")
+    synth_pages_df(spark, 40, partitions=2).write.parquet(src)
+    assert cli_main(["extract", "--input", src, "--output", out,
+                     "--levels", "raw", "--with-quality"]) == 0
+    got = spark.read.parquet(out)
+    assert {"verdict", "n_words", "wlen_bp", "dup_bp",
+            "top_bp"} <= set(got.columns)
+    want = {r.doc_id: r.verdict for r in gopher_filter(
+        got.select(F.col("url").alias("doc_id"), "text")).collect()}
+    for r in got.select("url", "verdict").collect():
+        assert want[r.url] == r.verdict
+    assert len(set(want.values())) > 1   # more than one verdict fires

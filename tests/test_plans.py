@@ -535,3 +535,88 @@ class TestRound4Plans:
         assert "element_at" in plan, plan        # the per-doc map fold
         assert "BroadcastNestedLoopJoin" in plan or \
             "BroadcastExchange" in plan, plan
+
+
+class TestTrainingPlans:
+    def test_badwords_is_zero_shuffle_projection(self, spark):
+        """Blocklist membership is a doc-local array filter — no join
+        against a list table, no aggregate; the only exchange is the
+        presentation sort."""
+        from pdf_extractor_spark.queries import training
+        plan = plan_of(training.q_badwords_filter(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert plan.count("Exchange") <= 2, plan  # rangepartition sort
+
+    def test_host_reputation_broadcast_rollup(self, spark):
+        """The host table (one row per source) joins back to the doc
+        stream via BROADCAST — the doc side must never shuffle by
+        source for the join; the rollup itself is a partial-agged
+        exchange on the host key."""
+        from pdf_extractor_spark.queries import training
+        plan = plan_of(training.q_host_reputation(spark, SF_DIR))
+        assert nodes(plan, "BroadcastHashJoin") == 1, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "Window") == 0, plan
+        assert re.search(r"HashAggregate.*\n.*Keys \[1\]: \[source",
+                         plan) or "partial_count" in plan, plan
+
+    def test_chunk_windows_is_doc_local_fanout(self, spark):
+        """The doc→window fan-out is explode(sequence) + slice inside
+        one projection — no window function, no join, no aggregate;
+        only the presentation sort exchanges."""
+        from pdf_extractor_spark.queries import training
+        plan = plan_of(training.q_chunk_windows(spark, SF_DIR))
+        assert nodes(plan, "Generate") >= 1, plan   # the explode
+        assert nodes(plan, "Window") == 0, plan
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_shard_export_partial_agg(self, spark):
+        """The manifest aggregate must combine map-side: partial
+        HashAggregate below the shard-key exchange, final above — the
+        reduce side sees N_SHARDS x n_partitions rows, not the
+        corpus."""
+        from pdf_extractor_spark.queries import training
+        plan = plan_of(training.q_shard_export(spark, SF_DIR))
+        assert nodes(plan, "HashAggregate") == 2, plan
+        assert "partial_count" in plan, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+
+    def test_training_verdicts(self, spark):
+        """Value semantics on a pinned micro-corpus: badwords tiers,
+        host rollup, window fan-out edge (len == stride boundary)."""
+        import pyspark.sql.functions as F
+
+        from pdf_extractor_spark.queries import training
+        rows = [(1, "clean text only here", "h1"),
+                (2, "slow dup slow dup slow", "h1"),       # dense
+                (3, "one slow word among nineteen " +
+                    " ".join(["filler"] * 15), "h2")]      # 1/20 words
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string") \
+            .withColumn("n_chars", F.length("text").cast("long"))
+        got = {r.doc_id: (r.n_bad, r.verdict)
+               for r in training.badwords_verdicts(docs).collect()}
+        assert got == {1: (0, "kept"), 2: (5, "blocked"),
+                       3: (1, "flagged")}, got
+
+    def test_chunk_windows_boundary(self, spark, tmp_path):
+        """A doc with exactly WIN_STRIDE tokens yields ONE window (the
+        second start would be empty); WIN_STRIDE+1 tokens yield two,
+        the second with exactly 1 token."""
+        from pdf_extractor_spark.queries import training
+        sf = str(tmp_path)
+        n1, n2 = training.WIN_STRIDE, training.WIN_STRIDE + 1
+        rows = [(1, " ".join(["a"] * n1)), (2, " ".join(["b"] * n2))]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(f"{sf}/documents.parquet")
+        got = [(r.doc_id, r.win_id, r.win_tokens)
+               for r in training.q_chunk_windows(spark, sf).collect()]
+        assert got == [(1, 0, n1), (2, 0, n2), (2, 1, 1)], got

@@ -415,3 +415,28 @@ def test_streaming_anomalies_match_batch(spark, tmp_path):
             if r.hour < far}   # sentinel's own window never finalizes
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_badwords_matches_batch(spark, tmp_path):
+    """The blocklist filter is a stateless zero-shuffle projection
+    (the list rides inside the expression), so the SAME body
+    (training.badwords_verdicts) runs on a streaming DataFrame with
+    no state store — per-doc verdicts must equal the batch twin's."""
+    from pdf_extractor_spark.queries.training import badwords_verdicts
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+
+    sink = f"stream_badwords_{os.getpid()}"
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    q = (badwords_verdicts(stream_docs)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {r.doc_id: (r.n_words, r.n_bad, r.bad_bp, r.verdict)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {r.doc_id: (r.n_words, r.n_bad, r.bad_bp, r.verdict)
+            for r in badwords_verdicts(docs).collect()}
+    assert got == want

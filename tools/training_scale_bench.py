@@ -1,0 +1,103 @@
+"""Scaling evidence for the training-assembly operators:
+badwords_filter, host_reputation, chunk_windows, shard_export.
+
+Corpus: the round-4c full-column replicated sf0.1 documents table
+(K×5,000 docs, 128 files, built once under /tmp — ``source`` and
+``n_chars`` survive because host_reputation / shard_export need them).
+
+Median of --reps per (level, query); count+checksum forcing. Results
+folded into BENCH/BASELINE.md BY HAND (never run round4c's main — it
+overwrites the markdown).
+
+Usage: python tools/training_scale_bench.py [--factor 100]
+           [--lo 4 --hi 16] [--reps 3] [--only name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from round4c_scale_bench import build_docs_full  # noqa: E402
+
+
+def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.training import (q_badwords_filter,
+                                                      q_chunk_windows,
+                                                      q_host_reputation,
+                                                      q_shard_export)
+    from pdf_extractor_spark.session import get_spark, stop_spark
+
+    spark = get_spark(f"training-bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 8),
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    out = {}
+
+    def timed(name, thunk):
+        if only and name not in only:
+            return
+        secs, n = [], None
+        for _ in range(reps):
+            df = thunk()
+            t0 = time.time()
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(" + ", ".join(df.columns)
+                       + "))").alias("chk")).collect()[0]
+            secs.append(round(time.time() - t0, 2))
+            n = row.n
+        out[name] = {"sec": statistics.median(secs), "runs": secs,
+                     "rows": n}
+        print(f"local[{cpus}] {name}: {n} rows median "
+              f"{out[name]['sec']}s {secs}", file=sys.stderr, flush=True)
+
+    timed("badwords_filter", lambda: q_badwords_filter(spark, docs_dir))
+    timed("host_reputation", lambda: q_host_reputation(spark, docs_dir))
+    timed("chunk_windows", lambda: q_chunk_windows(spark, docs_dir))
+    timed("shard_export", lambda: q_shard_export(spark, docs_dir))
+    stop_spark()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--lo", type=int, default=4)
+    ap.add_argument("--hi", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    docs_dir = f"/tmp/r4c_scale_f{args.factor}"
+    build_docs_full(args.factor, docs_dir)
+    os.system("sync")
+    time.sleep(2)
+
+    lo = run_level(args.lo, docs_dir, args.reps, args.only)
+    hi = run_level(args.hi, docs_dir, args.reps, args.only)
+    report = {"docs": 5000 * args.factor, "lo_cpus": args.lo,
+              "hi_cpus": args.hi, "reps": args.reps, "queries": {}}
+    for name in lo:
+        eff = ((lo[name]["sec"] / hi[name]["sec"]) /
+               (args.hi / args.lo)) if name in hi else None
+        report["queries"][name] = {
+            "rows": lo[name]["rows"],
+            f"local[{args.lo}]_sec": lo[name]["sec"],
+            f"local[{args.hi}]_sec": hi[name]["sec"],
+            "efficiency": round(eff, 3) if eff else None,
+        }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -279,8 +279,113 @@ FROM s GROUP BY shard_id ORDER BY shard_id
 """
 
 
+# --- budget-constrained corpus selection --------------------------------------
+
+TOKEN_BUDGET = 10_000   # greedy-fill token budget (ws tokens)
+
+from .textstats import STOPWORDS  # noqa: E402  (section-local import)
+
+_in_list_sql = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+
+
+def q_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection: rank every document by the
+    integer quality score (``quality_score``'s exact formula) and
+    greedily keep docs in (quality DESC, doc_id) order until the token
+    budget is spent — a doc is kept iff the tokens selected BEFORE it
+    are still under budget (FineWeb-style "take the best N tokens").
+
+    Scale shape — NO global sort of the corpus, the naive form's
+    fatal move at 10^12 docs. The score is a bounded integer
+    (0..10000), so its histogram is tiny: (1) per-score token totals
+    via one partial-agged aggregate; (2) running totals over the
+    ≤10001-row histogram (a global window over the AGGREGATE, never
+    the corpus); (3) the histogram broadcasts back and classifies
+    every score bucket wholesale — fully-funded buckets are kept and
+    exhausted buckets dropped with NO per-doc ordering work; (4) only
+    the ONE score value straddling the budget line needs its docs'
+    exact within-score prefix sum (a window partitioned by that
+    score, input pre-filtered to just those docs). The corpus is
+    scanned twice (decided + boundary branches) — two pruned parquet
+    scans beat one corpus-wide sort/shuffle by orders of magnitude.
+    Ties inside a score resolve by doc_id, so the kept set is
+    deterministic and engine-independent."""
+    from .textstats import _W_ARR, _in_list
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", F.expr(_W_ARR).alias("w")))
+    per = docs.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+         .alias("sum_len"),
+        F.expr(f"size(filter(w, x -> x in ({_in_list('en')})))")
+         .cast("long").alias("n_stop"))
+    q = per.select(
+        "doc_id", "n_words",
+        (F.expr("80 * least(n_words, 50)")
+         + F.expr("least(3000, (15000 * n_stop) div n_words)")
+         + F.lit(3000)
+         - F.expr("least(3000, (3000 * abs(sum_len - 5 * n_words))"
+                  " div (5 * n_words))")).cast("long")
+        .alias("quality_bp"))
+
+    from pyspark.sql import Window
+    hist = q.groupBy("quality_bp") \
+        .agg(F.sum("n_words").alias("bucket_tokens"))
+    cumw = Window.orderBy(F.desc("quality_bp")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "base", F.coalesce(F.sum("bucket_tokens").over(cumw), F.lit(0))
+        .cast("long"))
+
+    j = q.join(F.broadcast(hist), "quality_bp")
+    full = F.col("base") + F.col("bucket_tokens") <= TOKEN_BUDGET
+    empty = F.col("base") >= TOKEN_BUDGET
+    cols = ["doc_id", "n_words", "quality_bp", "kept"]
+    decided = (j.filter(full | empty)
+               .withColumn("kept", full)
+               .select(*cols))
+    wb = Window.partitionBy("quality_bp").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    boundary = (j.filter(~full & ~empty)
+                .withColumn("pe", F.col("base") + F.coalesce(
+                    F.sum("n_words").over(wb), F.lit(0)))
+                .withColumn("kept", F.col("pe") < TOKEN_BUDGET)
+                .select(*cols))
+    return decided.unionByName(boundary).orderBy("doc_id")
+
+
+ORACLE_SELECT_TO_BUDGET = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE trim(text) <> ''
+), q AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(80 * least(len(w), 50)
+              + least(3000, (15000 * len(list_filter(w, x ->
+                    list_contains([{_in_list_sql}], x)))) // len(w))
+              + 3000
+              - least(3000, (3000 * abs(
+                    list_sum(list_transform(w, x -> length(x)))
+                    - 5 * len(w))) // (5 * len(w)))
+              AS BIGINT) AS quality_bp
+  FROM w
+), c AS (
+  SELECT *, CAST(COALESCE(SUM(n_words) OVER (
+             ORDER BY quality_bp DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pe
+  FROM q
+)
+SELECT doc_id, n_words, quality_bp, pe < {TOKEN_BUDGET} AS kept
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "badwords_filter": (q_badwords_filter, ORACLE_BADWORDS),
+    "select_to_budget": (q_select_to_budget, ORACLE_SELECT_TO_BUDGET),
     "host_reputation": (q_host_reputation, ORACLE_HOST_REPUTATION),
     "chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
     "shard_export": (q_shard_export, ORACLE_SHARD_EXPORT),

@@ -620,3 +620,47 @@ class TestTrainingPlans:
         got = [(r.doc_id, r.win_id, r.win_tokens)
                for r in training.q_chunk_windows(spark, sf).collect()]
         assert got == [(1, 0, n1), (2, 0, n2), (2, 1, 1)], got
+
+    def test_select_to_budget_no_corpus_sort(self, spark):
+        """Budget selection must never globally sort the corpus: the
+        only unpartitioned window runs over the per-score HISTOGRAM
+        (post-aggregate), the within-score window is partitioned by
+        quality_bp and fed by the pre-filtered boundary branch, and the
+        histogram reaches both branches via broadcast."""
+        from pdf_extractor_spark.queries import training
+        plan = plan_of(training.q_select_to_budget(spark, SF_DIR))
+        # 3 = the tiny histogram cum-window duplicated into each union
+        # branch (its input is the post-agg ≤10001-row table) + ONE
+        # within-score window on the pre-filtered boundary branch
+        assert nodes(plan, "Window") == 3, plan
+        # exactly one window is PARTITIONED by quality_bp (boundary
+        # prefix); the other two are the histogram's score-DESC cum
+        assert len(re.findall(
+            r"windowspecdefinition\(quality_bp#\d+L, doc_id#", plan)) \
+            == 1, plan
+        assert len(re.findall(
+            r"windowspecdefinition\(quality_bp#\d+L DESC", plan)) == 2, \
+            plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 2, plan  # per branch
+        assert "partial_sum" in plan, plan  # histogram combines map-side
+
+    def test_select_to_budget_boundary_semantics(self, spark,
+                                                 tmp_path):
+        """Two score tiers; the budget line falls inside the low tier:
+        a doc is kept iff tokens selected before it are under budget,
+        ties within a score resolve by doc_id."""
+        from pdf_extractor_spark.queries import training
+        sf = str(tmp_path)
+        hi = [(i, " ".join(["abcde"] * 50)) for i in range(100)]
+        lo = [(100 + i, " ".join(["abcde"] * 10)) for i in range(600)]
+        spark.createDataFrame(hi + lo, "doc_id long, text string") \
+            .write.parquet(f"{sf}/documents.parquet")
+        rows = training.q_select_to_budget(spark, sf).collect()
+        kept = {r.doc_id for r in rows if r.kept}
+        scores = {r.doc_id: r.quality_bp for r in rows}
+        assert scores[0] == 7000 and scores[100] == 3800
+        # hi tier: 100 docs x 50 tokens = 5000, all funded; lo tier:
+        # pe(k-th lo doc) = 5000 + 10k < 10000 -> k <= 499
+        assert kept == set(range(100)) | set(range(100, 600 + 0)), \
+            (len(kept), min(kept), max(kept))

@@ -34,6 +34,7 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     from pdf_extractor_spark.queries.training import (q_badwords_filter,
                                                       q_chunk_windows,
                                                       q_host_reputation,
+                                                      q_select_to_budget,
                                                       q_shard_export)
     from pdf_extractor_spark.session import get_spark, stop_spark
 
@@ -64,6 +65,8 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     timed("host_reputation", lambda: q_host_reputation(spark, docs_dir))
     timed("chunk_windows", lambda: q_chunk_windows(spark, docs_dir))
     timed("shard_export", lambda: q_shard_export(spark, docs_dir))
+    timed("select_to_budget",
+          lambda: q_select_to_budget(spark, docs_dir))
     stop_spark()
     return out
 

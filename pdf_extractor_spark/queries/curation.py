@@ -649,7 +649,10 @@ def nb_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
             .withColumn("predicted_good", F.col("score_u") > 0))
 
 
-ORACLE_NB_QUALITY = f"""
+# Shared CTE prefix: label → token counts → integer log-odds → per-doc
+# scores. ORACLE_NB_QUALITY reads scored directly; ORACLE_CONFUSION
+# cross-tabs it against the labels.
+_NB_CTE = f"""
 WITH lab AS (
   SELECT doc_id, (verdict = 'kept') AS good FROM ({ORACLE_GOPHER})
 ), tok AS (
@@ -679,9 +682,62 @@ WITH lab AS (
   LEFT JOIN tok t ON t.doc_id = d.doc_id
   LEFT JOIN weights wt ON wt.w = t.w
   GROUP BY d.doc_id
-)
+)"""
+
+ORACLE_NB_QUALITY = _NB_CTE + """
 SELECT doc_id, n_tokens, score_u, score_u > 0 AS predicted_good
 FROM scored ORDER BY doc_id
+"""
+
+
+# --- classifier-vs-rules confusion matrix ------------------------------------
+
+def q_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the cheap classifier: the confusion
+    matrix of the NB prediction against the Gopher rule verdict it was
+    bootstrapped from (counts + corpus share in basis points) — the
+    report a pipeline reads before trusting the classifier to replace
+    the rule set on the next crawl.
+
+    Scale shape: NO doc-keyed join anywhere in the corpus-touching
+    pass — both verdicts are doc-LOCAL scoring passes (the Gopher
+    signals are array folds, the NB score folds against the broadcast
+    weight map), so predicted and actual land in the SAME projection
+    of one scan and the matrix is a 4-key partial-agged aggregate.
+    The naive eval shape (score table ⋈ label table on doc_id) would
+    shuffle the corpus twice to co-locate rows this plan never
+    separates. Training still pays its own (tiny-output) aggregate,
+    as in ``q_nb_quality_score``."""
+    docs = _t(spark, sf_dir, "documents")
+    wmap = nb_train(docs).agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "w_u"))).alias("m"))
+    both = (with_quality(docs.select("doc_id", "text"))
+            .crossJoin(F.broadcast(wmap))
+            .select((F.col("verdict") == "kept").alias("actual_good"),
+                    F.expr("aggregate(filter(split(text, ' '), "
+                           "x -> x <> ''), cast(0 as bigint), "
+                           "(acc, x) -> acc + coalesce("
+                           "element_at(m, x), 0L)) > 0")
+                    .alias("predicted_good")))
+    cells = both.groupBy("predicted_good", "actual_good") \
+        .agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("predicted_good", "actual_good", "n",
+                    F.expr("(10000 * n) div t").alias("share_bp"))
+            .orderBy("predicted_good", "actual_good"))
+
+
+ORACLE_CONFUSION = _NB_CTE + """
+, cells AS (
+  SELECT s.score_u > 0 AS predicted_good, l.good AS actual_good,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored s JOIN lab l ON l.doc_id = s.doc_id
+  GROUP BY 1, 2
+), t AS (SELECT SUM(n) AS t FROM cells)
+SELECT predicted_good, actual_good, n,
+       CAST((10000 * n) // t AS BIGINT) AS share_bp
+FROM cells, t ORDER BY predicted_good, actual_good
 """
 
 
@@ -821,6 +877,7 @@ QUERIES = {
     "ngram_repetition": (q_ngram_repetition, ORACLE_NGRAM_REPETITION),
     "gopher_quality_filter": (q_gopher_quality_filter, ORACLE_GOPHER),
     "nb_quality_score": (q_nb_quality_score, ORACLE_NB_QUALITY),
+    "quality_confusion": (q_quality_confusion, ORACLE_CONFUSION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "temperature_sample": (q_temperature_sample, ORACLE_TEMPERATURE),
     "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE),

@@ -664,3 +664,18 @@ class TestTrainingPlans:
         # pe(k-th lo doc) = 5000 + 10k < 10000 -> k <= 499
         assert kept == set(range(100)) | set(range(100, 600 + 0)), \
             (len(kept), min(kept), max(kept))
+
+    def test_quality_confusion_no_doc_join(self, spark):
+        """Both verdicts are doc-local scoring passes landing in ONE
+        projection — the eval must never shuffle the corpus by doc_id
+        to co-locate prediction with label (the naive score⋈label
+        shape). Training's tiny aggregates are the only keyed work."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_quality_confusion(spark, SF_DIR))
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "Window") == 0, plan
+        # the corpus-touching pass: no exchange hash-partitioned on
+        # doc_id anywhere (training joins labels doc_id-keyed but
+        # BROADCAST, never a doc_id shuffle)
+        assert not re.search(r"hashpartitioning\(doc_id#", plan), plan
+        assert "element_at" in plan, plan  # the broadcast-map fold

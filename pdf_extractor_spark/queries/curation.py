@@ -355,6 +355,75 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-facing twin of ``pack_sequences``: one row per
+    TRAINING SEQUENCE with its doc count, token fill, and first/last
+    packed doc — the manifest a data loader uses to seek into the
+    packed corpus and to build cross-doc attention masks. Every
+    sequence except the last must fill to exactly SEQ_LEN tokens
+    (asserted by the oracle equality: fills derive from the same
+    offsets).
+
+    Scale shape: the offsets come from the same hierarchical prefix
+    sum as ``pack_sequences`` (never a one-partition global window
+    over the corpus); each doc then explodes onto the sequences it
+    overlaps DOC-LOCALLY (≤ n_tokens/SEQ_LEN + 1 rows, usually 1-2),
+    and the rollup is one seq_id-keyed partial-agged aggregate — a
+    sequence holds at most SEQ_LEN docs, so no key can run hot."""
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.expr(_W_EXPR).alias("w"))
+    tok = docs.select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens"))
+    out = pack_offsets(tok).filter(F.col("n_tokens") > 0)
+    spans = out.select(
+        "doc_id", "n_tokens", "start_offset",
+        F.explode(F.expr(
+            f"sequence(start_offset div {SEQ_LEN}, "
+            f"(start_offset + n_tokens - 1) div {SEQ_LEN})"))
+        .alias("seq_id"))
+    per = spans.withColumn(
+        "t",
+        F.expr(f"least(start_offset + n_tokens, "
+               f"(seq_id + 1) * {SEQ_LEN}) - "
+               f"greatest(start_offset, seq_id * {SEQ_LEN})"))
+    return (per.groupBy("seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("t").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc_id"),
+                 F.max("doc_id").alias("last_doc_id"))
+            .orderBy("seq_id"))
+
+
+ORACLE_PACK_MANIFEST = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM tok
+), spans AS (
+  SELECT doc_id, n_tokens, start_offset,
+         unnest(generate_series(start_offset // {SEQ_LEN},
+                (start_offset + n_tokens - 1) // {SEQ_LEN})) AS seq_id
+  FROM c WHERE n_tokens > 0
+), per AS (
+  SELECT seq_id, doc_id,
+         least(start_offset + n_tokens, (seq_id + 1) * {SEQ_LEN})
+           - greatest(start_offset, seq_id * {SEQ_LEN}) AS t
+  FROM spans
+)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM per GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 # --- temperature-flattened language sampling ---------------------------------
 
 SAMPLE_MOD = 10000
@@ -879,6 +948,7 @@ QUERIES = {
     "nb_quality_score": (q_nb_quality_score, ORACLE_NB_QUALITY),
     "quality_confusion": (q_quality_confusion, ORACLE_CONFUSION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
+    "pack_manifest": (q_pack_manifest, ORACLE_PACK_MANIFEST),
     "temperature_sample": (q_temperature_sample, ORACLE_TEMPERATURE),
     "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMDEDUP),

@@ -679,3 +679,16 @@ class TestTrainingPlans:
         # BROADCAST, never a doc_id shuffle)
         assert not re.search(r"hashpartitioning\(doc_id#", plan), plan
         assert "element_at" in plan, plan  # the broadcast-map fold
+
+    def test_pack_manifest_hierarchy_and_local_fanout(self, spark):
+        """The manifest inherits pack_sequences' hierarchical prefix
+        sum (3 windows, offsets re-attached via broadcast — never a
+        corpus-wide unbounded window), then fans out doc-locally
+        (Generate) into a seq_id-keyed partial-agged rollup."""
+        from pdf_extractor_spark.queries import curation
+        plan = plan_of(curation.q_pack_manifest(spark, SF_DIR))
+        assert nodes(plan, "Window") == 3, plan
+        assert nodes(plan, "BroadcastHashJoin") == 2, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "Generate") == 1, plan
+        assert "partial_count" in plan, plan

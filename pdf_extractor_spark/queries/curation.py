@@ -374,6 +374,12 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_W_EXPR).alias("w"))
     tok = docs.select(
         "doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return pack_manifest_body(tok).orderBy("seq_id")
+
+
+def pack_manifest_body(tok: DataFrame) -> DataFrame:
+    """The manifest body: any (doc_id, n_tokens) table in, one row
+    per training sequence out; callers add any sort."""
     out = pack_offsets(tok).filter(F.col("n_tokens") > 0)
     spans = out.select(
         "doc_id", "n_tokens", "start_offset",
@@ -390,8 +396,7 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("t").alias("seq_tokens"),
                  F.min("doc_id").alias("first_doc_id"),
-                 F.max("doc_id").alias("last_doc_id"))
-            .orderBy("seq_id"))
+                 F.max("doc_id").alias("last_doc_id")))
 
 
 ORACLE_PACK_MANIFEST = f"""

@@ -189,7 +189,16 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens/WIN_STRIDE, produced streaming per-partition — no window
     function, no self-join, nothing co-locates a document's windows
     with any other document's."""
-    docs = _t(spark, sf_dir, "documents")
+    return chunk_fanout(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id", "win_id")
+
+
+def chunk_fanout(docs: DataFrame) -> DataFrame:
+    """The fan-out body: any DataFrame (batch or streaming) with
+    (doc_id, text) in, one row per window out. Stateless doc-local
+    projection + explode — runs on a streaming DataFrame with no
+    state store (parity pinned by tests/test_streaming.py); callers
+    add any presentation sort."""
     st = (docs.select("doc_id", F.expr(_W_EXPR).alias("w"))
           .withColumn("n", F.size("w").cast("long"))
           .filter(F.col("n") > 0))
@@ -204,8 +213,7 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"{WIN_LEN}) AS BIGINT)").alias("win_tokens"),
                 F.expr(f"md5(concat_ws(' ', slice(w, CAST(win_id * "
                        f"{WIN_STRIDE} + 1 AS INT), {WIN_LEN})))")
-                .alias("win_hash"))
-            .orderBy("doc_id", "win_id"))
+                .alias("win_hash")))
 
 
 ORACLE_CHUNK_WINDOWS = f"""
@@ -250,7 +258,13 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-on-id gives uniform shard sizes regardless of doc_id
     clustering, which is the point: export shards must balance even
     when ids arrive range-clustered from an upstream sort."""
-    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(_t(spark, sf_dir, "documents")) \
+        .orderBy("shard_id")
+
+
+def shard_manifest(docs: DataFrame) -> DataFrame:
+    """The manifest body: any DataFrame with (doc_id, n_chars) in,
+    one manifest row per shard out; callers add any sort."""
     return (docs
             .select(
                 (F.conv(F.substring(F.md5(F.col("doc_id")
@@ -261,8 +275,7 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("shard_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
-                 F.sum("doc_id").alias("id_checksum"))
-            .orderBy("shard_id"))
+                 F.sum("doc_id").alias("id_checksum")))
 
 
 ORACLE_SHARD_EXPORT = f"""
@@ -310,8 +323,18 @@ def q_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans beat one corpus-wide sort/shuffle by orders of magnitude.
     Ties inside a score resolve by doc_id, so the kept set is
     deterministic and engine-independent."""
+    return budget_select(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+def budget_select(docs: DataFrame,
+                  budget: int = TOKEN_BUDGET) -> DataFrame:
+    """The selection body: any DataFrame with (doc_id, text) in, one
+    (doc_id, n_words, quality_bp, kept) row per non-empty doc out.
+    Callers add any presentation sort. See ``q_select_to_budget``
+    for the histogram-refinement scale argument."""
     from .textstats import _W_ARR, _in_list
-    docs = (_t(spark, sf_dir, "documents")
+    docs = (docs
             .filter(F.trim(F.col("text")) != "")
             .select("doc_id", F.expr(_W_ARR).alias("w")))
     per = docs.select(
@@ -340,8 +363,8 @@ def q_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"))
 
     j = q.join(F.broadcast(hist), "quality_bp")
-    full = F.col("base") + F.col("bucket_tokens") <= TOKEN_BUDGET
-    empty = F.col("base") >= TOKEN_BUDGET
+    full = F.col("base") + F.col("bucket_tokens") <= budget
+    empty = F.col("base") >= budget
     cols = ["doc_id", "n_words", "quality_bp", "kept"]
     decided = (j.filter(full | empty)
                .withColumn("kept", full)
@@ -351,9 +374,9 @@ def q_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = (j.filter(~full & ~empty)
                 .withColumn("pe", F.col("base") + F.coalesce(
                     F.sum("n_words").over(wb), F.lit(0)))
-                .withColumn("kept", F.col("pe") < TOKEN_BUDGET)
+                .withColumn("kept", F.col("pe") < budget)
                 .select(*cols))
-    return decided.unionByName(boundary).orderBy("doc_id")
+    return decided.unionByName(boundary)
 
 
 ORACLE_SELECT_TO_BUDGET = f"""

@@ -343,3 +343,43 @@ def test_extract_with_quality_single_scan(spark, tmp_path):
     for r in got.select("url", "verdict").collect():
         assert want[r.url] == r.verdict
     assert len(set(want.values())) > 1   # more than one verdict fires
+
+
+@pytest.mark.spark
+def test_assemble_cli_pack_invariants(spark, tmp_path):
+    """CLI wiring over budget_select + pack_offsets +
+    pack_manifest_body + shard_manifest: the kept corpus is exactly
+    the audit's kept set, the pack lays kept docs end-to-end with no
+    gaps, every sequence but the last fills to SEQ_LEN, and the shard
+    manifest accounts for every kept doc exactly once."""
+    from pdf_extractor_spark.__main__ import main as cli_main
+    from pdf_extractor_spark.queries.curation import SEQ_LEN
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "asm")
+    assert cli_main(["assemble", "--input", src, "--output", out]) == 0
+    audit = spark.read.parquet(f"{out}/audit")
+    kept = spark.read.parquet(f"{out}/kept")
+    pack = spark.read.parquet(f"{out}/pack").orderBy("doc_id").collect()
+    man = spark.read.parquet(f"{out}/seq_manifest") \
+        .orderBy("seq_id").collect()
+    shards = spark.read.parquet(f"{out}/shards").collect()
+
+    kept_ids = {r.doc_id for r in audit.filter("kept").collect()}
+    assert 0 < len(kept_ids) < audit.count()
+    assert {r.doc_id for r in kept.select("doc_id").collect()} \
+        == kept_ids
+
+    # pack: end-to-end, gap-free in doc_id order over the KEPT set
+    off = 0
+    for r in pack:
+        assert r.start_offset == off, (r, off)
+        off += r.n_tokens
+    assert {r.doc_id for r in pack} == kept_ids
+    # manifest: full SEQ_LEN fill except the final sequence
+    assert [r.seq_id for r in man] == list(range(len(man)))
+    assert all(r.seq_tokens == SEQ_LEN for r in man[:-1])
+    assert sum(r.seq_tokens for r in man) == off
+    # shards: every kept doc exactly once, checksums consistent
+    assert sum(r.n_docs for r in shards) == len(kept_ids)
+    assert sum(r.id_checksum for r in shards) == sum(kept_ids)

@@ -440,3 +440,28 @@ def test_streaming_badwords_matches_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_words, r.n_bad, r.bad_bp, r.verdict)
             for r in badwords_verdicts(docs).collect()}
     assert got == want
+
+
+def test_streaming_chunk_fanout_matches_batch(spark, tmp_path):
+    """The training-window fan-out is stateless (explode + doc-local
+    slices), so the SAME body (training.chunk_fanout) runs on a
+    streaming DataFrame with no state store — the window set must
+    equal the batch twin's."""
+    from pdf_extractor_spark.queries.training import chunk_fanout
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+
+    sink = f"stream_chunks_{os.getpid()}"
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    q = (chunk_fanout(stream_docs)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = {(r.doc_id, r.win_id): (r.win_tokens, r.win_hash)
+           for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    want = {(r.doc_id, r.win_id): (r.win_tokens, r.win_hash)
+            for r in chunk_fanout(docs).collect()}
+    assert len(want) > 0 and got == want

@@ -67,6 +67,23 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     timed("shard_export", lambda: q_shard_export(spark, docs_dir))
     timed("select_to_budget",
           lambda: q_select_to_budget(spark, docs_dir))
+
+    def assemble_chain():
+        # the assemble CLI's compute graph, IO-free: budget selection
+        # -> kept semi-join -> pack hierarchy -> per-seq manifest
+        from pdf_extractor_spark.queries.curation import \
+            pack_manifest_body
+        from pdf_extractor_spark.queries.training import budget_select
+        docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+        kept_ids = budget_select(docs, budget=5_000_000) \
+            .filter("kept").select("doc_id")
+        kept = docs.join(kept_ids, "doc_id", "left_semi")
+        tok = kept.select(
+            "doc_id",
+            F.expr("CAST(size(filter(split(text, ' '), x -> x <> ''))"
+                   " AS BIGINT)").alias("n_tokens"))
+        return pack_manifest_body(tok)
+    timed("assemble_chain", assemble_chain)
     stop_spark()
     return out
 

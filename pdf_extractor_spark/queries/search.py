@@ -618,7 +618,93 @@ WHERE rk <= {TFIDF_K} ORDER BY doc_id, rk
 """
 
 
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+PMI_MIN_CNT = 5    # bigram support floor (rare pairs have unstable PMI)
+PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: the top-K adjacent word pairs
+    by pointwise mutual information — the phrase-discovery pass behind
+    tokenizer pre-merges and data-card vocabulary reports. All
+    probabilities are over bigram EVENTS from one table: p(ab), the
+    head marginal p(a.), the tail marginal p(.b) — so PMI =
+    ln(c_ab.NB / (c_a..c_.b)), computed as a SUM OF LOGS in double
+    (the product overflows int64 at web scale) and rounded ONCE to
+    integer micro-nats (the bm25/bigram_logprob ln-once rule: result
+    bytes identical across engines and partition orders).
+
+    Scale shape: the corpus is touched ONCE — the pair explode feeds
+    one map-side-combined aggregate onto the bigram-vocab table, which
+    is MATERIALIZED (localCheckpoint — the PageRank/NB snapshot rule)
+    because four consumers read it (support filter, head/tail
+    marginals, total) and column pruning makes their subplans
+    non-identical, so exchange reuse cannot deduplicate them: without
+    the cut the static plan re-explodes the corpus four times. Every
+    later step re-aggregates or broadcasts onto that VOCAB-sized
+    snapshot, never the corpus. The final top-K is orderBy+limit ⇒
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    materialization); ties break on (a, b) for a deterministic set."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", F.expr(_W_ARR).alias("w")))
+    pairs = docs.select(F.explode(F.expr(
+        "CASE WHEN size(w) >= 2 THEN"
+        " transform(sequence(0, size(w)-2),"
+        " i -> struct(w[i] as a, w[i+1] as b)) ELSE"
+        " cast(array() as array<struct<a:string,b:string>>) END"))
+        .alias("p")).select("p.a", "p.b")
+    B = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab")) \
+        .localCheckpoint()
+    heads = B.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    tails = B.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = B.agg(F.sum("c_ab").alias("nb"))
+    return (B.filter(F.col("c_ab") >= PMI_MIN_CNT)
+            .join(F.broadcast(heads), "a")
+            .join(F.broadcast(tails), "b")
+            .crossJoin(F.broadcast(tot))
+            .select("a", "b", "c_ab",
+                    F.round((F.log(F.col("c_ab").cast("double"))
+                             + F.log(F.col("nb").cast("double"))
+                             - F.log(F.col("c_a").cast("double"))
+                             - F.log(F.col("c_b").cast("double")))
+                            * 1000000).cast("long").alias("pmi_u"))
+            .orderBy(F.desc("pmi_u"), "a", "b")
+            .limit(PMI_TOPK))
+
+
+ORACLE_PMI = f"""
+WITH wd AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM wd, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+), B AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b
+), heads AS (
+  SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM B GROUP BY a
+), tails AS (
+  SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM B GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(c_ab) AS BIGINT) AS nb FROM B
+)
+SELECT B.a, B.b, c_ab,
+       CAST(ROUND((ln(CAST(c_ab AS DOUBLE)) + ln(CAST(nb AS DOUBLE))
+                   - ln(CAST(c_a AS DOUBLE)) - ln(CAST(c_b AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS pmi_u
+FROM B JOIN heads USING (a) JOIN tails USING (b), tot
+WHERE c_ab >= {PMI_MIN_CNT}
+ORDER BY pmi_u DESC, a, b LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
     "tfidf_keyterms": (q_tfidf_keyterms, ORACLE_TFIDF),
     "bm25_topk": (q_bm25_topk, ORACLE_BM25),
     "bpe_merges": (q_bpe_merges, ORACLE_BPE),

@@ -692,3 +692,19 @@ class TestTrainingPlans:
         assert nodes(plan, "SortMergeJoin") == 0, plan
         assert nodes(plan, "Generate") == 1, plan
         assert "partial_count" in plan, plan
+
+    def test_pmi_corpus_once_topk_heap(self, spark):
+        """PMI touches the corpus ONCE (one explode into one
+        map-side-combined aggregate); marginals and the total join
+        back as broadcasts onto the vocab table, and the top-K is a
+        TakeOrderedAndProject heap, not a global sort."""
+        from pdf_extractor_spark.queries import search
+        plan = plan_of(search.q_pmi_collocations(spark, SF_DIR))
+        # the bigram table is checkpointed, so the plan reads the
+        # snapshot (ExistingRDD) — zero parquet scans, zero explodes
+        # (without the cut: four of each, one per marginal consumer)
+        assert nodes(plan, "Generate") == 0, plan
+        assert nodes(plan, "Scan parquet") == 0, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 2, plan

@@ -48,8 +48,12 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
             return
         secs, n = [], None
         for _ in range(reps):
-            df = thunk()
+            # construction INSIDE the window (bench.py's rule): an
+            # eager localCheckpoint in a query body must not escape
+            # the timing (pmi_collocations measured 0.99s for a 500k
+            # corpus pass before this fix caught it)
             t0 = time.time()
+            df = thunk()
             row = df.agg(
                 F.count("*").alias("n"),
                 F.expr("bit_xor(xxhash64(" + ", ".join(df.columns)
@@ -67,6 +71,12 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     timed("shard_export", lambda: q_shard_export(spark, docs_dir))
     timed("select_to_budget",
           lambda: q_select_to_budget(spark, docs_dir))
+
+    def pmi():
+        from pdf_extractor_spark.queries.search import \
+            q_pmi_collocations
+        return q_pmi_collocations(spark, docs_dir)
+    timed("pmi_collocations", pmi)
 
     def assemble_chain():
         # the assemble CLI's compute graph, IO-free: budget selection

@@ -11,7 +11,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .curation import DUP_BG_MAX_BP as _REP_CAP
@@ -374,6 +374,51 @@ SELECT doc_id, ng_en, ng_fr, ng_es, ng_de,
             WHEN ng_es >= ng_de THEN 'es'
             ELSE 'de' END AS predicted_lang
 FROM scored ORDER BY doc_id
+"""
+
+
+HOLDOUT_K = 5   # exact eval docs per language
+
+
+def q_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-language eval holdout: within each language the
+    K documents with the smallest md5(doc_id) rank — a deterministic
+    stand-in for random sampling that is engine/run/cluster-size
+    stable AND exact-k per stratum (where ``hash_split`` is
+    proportional-in-expectation; an eval set needs a fixed size).
+
+    Scale shape: ``row_number() <= K`` over (lang, md5-rank) compiles
+    to a Partial WindowGroupLimit BELOW the lang exchange — every
+    input partition ships at most K rows per language, so a
+    one-language corpus (the skew adversary) shuffles K rows per
+    partition, not the corpus (the domain_cap rule applied to eval
+    splitting)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (docs.select("doc_id", "lang", h.alias("h"))
+            .withColumn("holdout_rank", F.row_number().over(w)
+                        .cast("long"))
+            .filter(F.col("holdout_rank") <= HOLDOUT_K)
+            .select("doc_id", "lang", "holdout_rank")
+            .orderBy("lang", "holdout_rank"))
+
+
+ORACLE_EVAL_HOLDOUT = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+              AS BIGINT) AS holdout_rank
+  FROM h
+)
+SELECT doc_id, lang, holdout_rank FROM r
+WHERE holdout_rank <= {HOLDOUT_K} ORDER BY lang, holdout_rank
 """
 
 
@@ -787,6 +832,7 @@ QUERIES = {
     "lang_id": (q_lang_id, ORACLE_LANG),
     "lang_id_ngram": (q_lang_id_ngram, ORACLE_LANG_NGRAM),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "eval_holdout": (q_eval_holdout, ORACLE_EVAL_HOLDOUT),
     "doc_winnow": (q_doc_winnow, ORACLE_WINNOW),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "token_count": (q_token_count, ORACLE_TOKENS),

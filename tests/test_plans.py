@@ -708,3 +708,15 @@ class TestTrainingPlans:
         assert "TakeOrderedAndProject" in plan, plan
         assert nodes(plan, "SortMergeJoin") == 0, plan
         assert nodes(plan, "BroadcastHashJoin") == 2, plan
+
+    def test_eval_holdout_partial_window_group_limit(self, spark):
+        """The exact-k holdout must prune to K rows per language
+        BEFORE the lang exchange (Partial WindowGroupLimit) — a
+        one-language corpus ships K rows per input partition, never
+        the corpus."""
+        from pdf_extractor_spark.queries import textstats
+        plan = plan_of(textstats.q_eval_holdout(spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, plan
+        assert re.search(r"WindowGroupLimit.*\n.*Partial", plan,
+                         ) or plan.count("WindowGroupLimit") >= 2, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan

@@ -327,12 +327,29 @@ def q_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
-def budget_select(docs: DataFrame,
-                  budget: int = TOKEN_BUDGET) -> DataFrame:
+BOUNDARY_WINDOW_MAX = 1_000_000   # boundary docs above this → hierarchy
+
+
+def budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET,
+                  window_max: int = BOUNDARY_WINDOW_MAX) -> DataFrame:
     """The selection body: any DataFrame with (doc_id, text) in, one
     (doc_id, n_words, quality_bp, kept) row per non-empty doc out.
     Callers add any presentation sort. See ``q_select_to_budget``
-    for the histogram-refinement scale argument."""
+    for the histogram-refinement scale argument.
+
+    The boundary prefix is planned ADAPTIVELY from a statistic
+    Catalyst cannot see: the checkpointed histogram already holds the
+    straddling score's doc count, so (a) a normal boundary (one
+    score's docs) takes the single-partition window — measured ~2×
+    faster than the hierarchy below ~2M rows, where one sort beats
+    checkpoint+join-back overhead; (b) an adversarial boundary (the
+    all-one-score corpus, where the "one score" IS the corpus) takes
+    pack_offsets' doc_id-bucketed hierarchical prefix sum, because the
+    window form sorts the whole corpus on ONE partition and WindowExec
+    buffers that partition in memory — at 10^9 boundary rows the
+    window is not slow, it is dead. Both forms compute the same pe;
+    results are plan-independent. Measured A/B at 500k/2M hot-score
+    docs in BENCH/BASELINE.md."""
     from .textstats import _W_ARR, _in_list
     docs = (docs
             .filter(F.trim(F.col("text")) != "")
@@ -354,28 +371,58 @@ def budget_select(docs: DataFrame,
         .alias("quality_bp"))
 
     from pyspark.sql import Window
+
+    # ONE corpus pass builds the tiny histogram; it is checkpointed
+    # because three consumers read it (both branch broadcasts + the
+    # boundary-size statistic) and each would otherwise re-scan the
+    # corpus and re-fold the score.
     hist = q.groupBy("quality_bp") \
-        .agg(F.sum("n_words").alias("bucket_tokens"))
+        .agg(F.sum("n_words").alias("bucket_tokens"),
+             F.count("*").alias("score_docs")) \
+        .localCheckpoint()
     cumw = Window.orderBy(F.desc("quality_bp")) \
         .rowsBetween(Window.unboundedPreceding, -1)
     hist = hist.withColumn(
         "base", F.coalesce(F.sum("bucket_tokens").over(cumw), F.lit(0))
         .cast("long"))
 
-    j = q.join(F.broadcast(hist), "quality_bp")
+    j = q.join(F.broadcast(hist.select(
+        "quality_bp", "bucket_tokens", "base")), "quality_bp")
     full = F.col("base") + F.col("bucket_tokens") <= budget
     empty = F.col("base") >= budget
     cols = ["doc_id", "n_words", "quality_bp", "kept"]
     decided = (j.filter(full | empty)
                .withColumn("kept", full)
                .select(*cols))
-    wb = Window.partitionBy("quality_bp").orderBy("doc_id") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    boundary = (j.filter(~full & ~empty)
-                .withColumn("pe", F.col("base") + F.coalesce(
-                    F.sum("n_words").over(wb), F.lit(0)))
-                .withColumn("kept", F.col("pe") < budget)
-                .select(*cols))
+
+    # the boundary-size statistic: a snapshot-only job, no corpus scan
+    brow = hist.filter((F.col("base") < budget)
+                       & (F.col("base") + F.col("bucket_tokens")
+                          > budget)).select("score_docs").collect()
+    if not brow:
+        return decided
+    bnd = j.filter(~full & ~empty)
+    if brow[0].score_docs <= window_max:
+        wb = Window.partitionBy("quality_bp").orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        boundary = (bnd.withColumn(
+            "pe", F.col("base") + F.coalesce(
+                F.sum("n_words").over(wb), F.lit(0)))
+            .withColumn("kept", F.col("pe") < budget)
+            .select(*cols))
+    else:
+        from .curation import pack_offsets
+        # the huge boundary feeds two consumers (hierarchy + join
+        # back); materialize it once or each re-scans the corpus
+        # (measured 12.6s vs 8.1s at 2M hot-score docs, local[16])
+        bnd = bnd.localCheckpoint()
+        pre = pack_offsets(
+            bnd.select("doc_id", F.col("n_words").alias("n_tokens"))) \
+            .select("doc_id", F.col("start_offset").alias("pe0"))
+        boundary = (bnd.join(pre, "doc_id")
+                    .withColumn("kept",
+                                F.col("base") + F.col("pe0") < budget)
+                    .select(*cols))
     return decided.unionByName(boundary)
 
 

@@ -629,21 +629,40 @@ class TestTrainingPlans:
         histogram reaches both branches via broadcast."""
         from pdf_extractor_spark.queries import training
         plan = plan_of(training.q_select_to_budget(spark, SF_DIR))
-        # 3 = the tiny histogram cum-window duplicated into each union
-        # branch (its input is the post-agg ≤10001-row table) + ONE
-        # within-score window on the pre-filtered boundary branch
+        # normal corpus -> the ADAPTIVE body picks the window boundary
+        # (tiny straddling score): histogram cum windows run over the
+        # checkpointed snapshot (one per branch broadcast), plus the
+        # one within-score window; exactly two corpus scans (decided +
+        # boundary branches) — the histogram never re-scans
         assert nodes(plan, "Window") == 3, plan
-        # exactly one window is PARTITIONED by quality_bp (boundary
-        # prefix); the other two are the histogram's score-DESC cum
         assert len(re.findall(
             r"windowspecdefinition\(quality_bp#\d+L, doc_id#", plan)) \
             == 1, plan
-        assert len(re.findall(
-            r"windowspecdefinition\(quality_bp#\d+L DESC", plan)) == 2, \
-            plan
+        assert nodes(plan, "Scan parquet") == 2, plan
         assert nodes(plan, "SortMergeJoin") == 0, plan
-        assert nodes(plan, "BroadcastHashJoin") == 2, plan  # per branch
-        assert "partial_sum" in plan, plan  # histogram combines map-side
+        # (the histogram's map-side-combined aggregate ran at snapshot
+        # build time — it is not part of this plan by design)
+
+    def test_select_to_budget_adaptive_paths_agree(self, spark,
+                                                   tmp_path):
+        """Forcing the hierarchy boundary (window_max=0) must produce
+        exactly the window path's rows — the adaptive choice changes
+        the plan, never the result. The forced plan must contain the
+        doc_id-bucketed hierarchy and no score-partitioned window."""
+        import pyspark.sql.functions as F
+
+        from pdf_extractor_spark.queries import training
+        docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet")
+        want = {tuple(r) for r in
+                training.budget_select(docs).collect()}
+        forced = training.budget_select(docs, window_max=0)
+        plan = plan_of(forced)
+        assert re.search(r"windowspecdefinition\(bucket#", plan), plan
+        assert not re.search(
+            r"windowspecdefinition\(quality_bp#\d+L, doc_id#", plan), \
+            plan
+        assert {tuple(r) for r in forced.collect()} == want
 
     def test_select_to_budget_boundary_semantics(self, spark,
                                                  tmp_path):

@@ -28,6 +28,74 @@ sys.path.insert(0, REPO)
 from round4c_scale_bench import build_docs_full  # noqa: E402
 
 
+def build_hotscore(n: int, path: str) -> None:
+    """The select_to_budget adversary: every document has IDENTICAL
+    text, hence one quality score — the boundary bucket is the whole
+    corpus. 128 files, deterministic."""
+    if os.path.exists(path):
+        return
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.session import get_spark, stop_spark
+    spark = get_spark("hotscore-corpus", extra={
+        "spark.ui.showConsoleProgress": "false"})
+    text = " ".join(["boiler"] * 50)
+    (spark.range(n)
+     .select(F.col("id").alias("doc_id"), F.lit(text).alias("text"),
+             F.lit("en").alias("lang"), F.lit("src0").alias("source"),
+             F.lit(len(text)).cast("long").alias("n_chars"))
+     .repartition(128).write.parquet(f"{path}/documents.parquet"))
+    stop_spark()
+
+
+def budget_select_windowform(docs, budget):
+    """The REJECTED boundary shape (kept here only for the A/B
+    measurement): within-score prefix via Window.partitionBy(score) —
+    on the hot-score corpus the single boundary bucket serializes
+    onto one partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.textstats import _W_ARR, _in_list
+    d = (docs.filter(F.trim(F.col("text")) != "")
+         .select("doc_id", F.expr(_W_ARR).alias("w")))
+    per = d.select(
+        "doc_id", F.size("w").cast("long").alias("n_words"),
+        F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+        .alias("sum_len"),
+        F.expr(f"size(filter(w, x -> x in ({_in_list('en')})))")
+        .cast("long").alias("n_stop"))
+    q = per.select(
+        "doc_id", "n_words",
+        (F.expr("80 * least(n_words, 50)")
+         + F.expr("least(3000, (15000 * n_stop) div n_words)")
+         + F.lit(3000)
+         - F.expr("least(3000, (3000 * abs(sum_len - 5 * n_words))"
+                  " div (5 * n_words))")).cast("long")
+        .alias("quality_bp"))
+    hist = q.groupBy("quality_bp").agg(
+        F.sum("n_words").alias("bucket_tokens"))
+    cumw = Window.orderBy(F.desc("quality_bp")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "base", F.coalesce(F.sum("bucket_tokens").over(cumw),
+                           F.lit(0)).cast("long"))
+    j = q.join(F.broadcast(hist), "quality_bp")
+    full = F.col("base") + F.col("bucket_tokens") <= budget
+    empty = F.col("base") >= budget
+    cols = ["doc_id", "n_words", "quality_bp", "kept"]
+    decided = j.filter(full | empty).withColumn("kept", full) \
+        .select(*cols)
+    wb = Window.partitionBy("quality_bp").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    boundary = (j.filter(~full & ~empty)
+                .withColumn("pe", F.col("base") + F.coalesce(
+                    F.sum("n_words").over(wb), F.lit(0)))
+                .withColumn("kept", F.col("pe") < budget)
+                .select(*cols))
+    return decided.unionByName(boundary)
+
+
 def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     from pyspark.sql import functions as F
 
@@ -72,6 +140,20 @@ def run_level(cpus: int, docs_dir: str, reps: int, only=None) -> dict:
     timed("select_to_budget",
           lambda: q_select_to_budget(spark, docs_dir))
 
+    hot_dir = docs_dir + "_hotscore"
+    if (not only) or any(n.startswith("budget_hotscore")
+                         for n in only):
+        from pdf_extractor_spark.queries.training import budget_select
+        hot = spark.read.parquet(f"{hot_dir}/documents.parquet")
+        hot_budget = hot.count() * 25  # half of the 50-token docs
+        timed("budget_hotscore_adaptive",
+              lambda: budget_select(hot, budget=hot_budget))
+        timed("budget_hotscore_hier",
+              lambda: budget_select(hot, budget=hot_budget,
+                                    window_max=0))
+        timed("budget_hotscore_window",
+              lambda: budget_select_windowform(hot, budget=hot_budget))
+
     def pmi():
         from pdf_extractor_spark.queries.search import \
             q_pmi_collocations
@@ -109,6 +191,9 @@ def main() -> int:
 
     docs_dir = f"/tmp/r4c_scale_f{args.factor}"
     build_docs_full(args.factor, docs_dir)
+    if (not args.only) or any(n.startswith("budget_hotscore")
+                              for n in args.only):
+        build_hotscore(5000 * args.factor, docs_dir + "_hotscore")
     os.system("sync")
     time.sleep(2)
 

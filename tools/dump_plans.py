@@ -135,6 +135,28 @@ def main() -> None:
          "wedge volume)", webgraph.q_host_triangles(spark, SF_DIR)),
     ])
 
+    from pdf_extractor_spark.queries import training
+    sections.extend([
+        ("Budget selection, adaptive boundary (histogram snapshot "
+         "classifies score buckets wholesale; normal corpus takes the "
+         "within-score window — the hot-score adversary takes the "
+         "doc_id-bucketed hierarchy instead, see BENCH/BASELINE.md)",
+         training.q_select_to_budget(spark, SF_DIR)),
+        ("C4 blocklist filter (doc-local array membership — zero "
+         "shuffle, scan reads doc_id+text only)",
+         training.q_badwords_filter(spark, SF_DIR)),
+        ("Host-reputation rollup (one partial-agged host exchange; "
+         "host table broadcasts back — docs never shuffle by host)",
+         training.q_host_reputation(spark, SF_DIR)),
+        ("PMI collocations over the checkpointed bigram snapshot "
+         "(marginals/total broadcast; TakeOrderedAndProject top-k; "
+         "zero parquet scans above the snapshot)",
+         search.q_pmi_collocations(spark, SF_DIR)),
+        ("Sequence-pack manifest (hierarchical offsets; doc-local "
+         "explode onto overlapped sequences; seq_id partial agg)",
+         curation.q_pack_manifest(spark, SF_DIR)),
+    ])
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "PLANS.md")
     with open(out, "w") as f:

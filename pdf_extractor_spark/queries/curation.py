@@ -683,11 +683,18 @@ def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nb_train(docs: DataFrame) -> DataFrame:
     """Train once per corpus snapshot: (w, w_u) integer log-odds.
     Deployed, this table materializes like the PageRank snapshot and
-    every scoring pass reuses it."""
-    lab = gopher_filter(docs).select(
-        "doc_id", (F.col("verdict") == "kept").alias("good"))
-    toks = (docs.select("doc_id", F.explode(F.expr(_W_EXPR)).alias("w"))
-            .join(lab, "doc_id")
+    every scoring pass reuses it.
+
+    The gopher label is a doc-LOCAL projection, so it rides the same
+    scan as the token explode — the first cut materialized a label
+    table and joined it back on doc_id, a full-corpus shuffle that
+    bought nothing (measured: dropping it cut nb training's corpus
+    cost to one scan; the only remaining exchange is the vocab-keyed
+    count aggregate)."""
+    labeled = with_quality(docs.select("doc_id", "text")).select(
+        (F.col("verdict") == "kept").alias("good"), "text")
+    toks = (labeled
+            .select("good", F.explode(F.expr(_W_EXPR)).alias("w"))
             .groupBy("w")
             .agg(F.sum(F.col("good").cast("long")).alias("n_good"),
                  F.sum((~F.col("good")).cast("long")).alias("n_bad"))

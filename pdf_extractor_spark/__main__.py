@@ -304,22 +304,38 @@ def cmd_select(args) -> int:
     input (the fusion shape measured in BENCH/BASELINE.md)."""
     from pyspark.sql import functions as F
 
-    from .queries.curation import dsir_score, dsir_train, gopher_filter
+    from .queries.curation import (DSIR_BUCKETS, _W_EXPR, dsir_train,
+                                   with_quality)
 
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.input)
     llr = dsir_train(docs).localCheckpoint()
-    verdicts = gopher_filter(docs).select("doc_id", "verdict")
-    scores = dsir_score(docs, llr)
+    # BOTH signals are doc-local (gopher = array folds, DSIR = a fold
+    # against the broadcast bucket map), so they land in ONE
+    # projection of one scan — the first cut materialized each as its
+    # own table and joined them back on doc_id, a full-corpus shuffle
+    # for rows that were never apart (the quality_confusion rule).
+    wmap = llr.agg(F.map_from_entries(
+        F.collect_list(F.struct("b", "llr_u"))).alias("m"))
+    scored = (with_quality(docs.select("doc_id", "text"))
+              .crossJoin(F.broadcast(wmap))
+              .withColumn("ws", F.expr(_W_EXPR))
+              .select("doc_id", "verdict",
+                      F.size("ws").cast("long").alias("n_tokens"),
+                      F.expr(
+                          "aggregate(ws, cast(0 as bigint), (acc, x) ->"
+                          " acc + coalesce(element_at(m,"
+                          " cast(conv(substring(md5(x), 1, 14), 16, 10)"
+                          f" as bigint) % {DSIR_BUCKETS}), 0L))")
+                      .alias("dsir_u")))
     # DSIR selection = above the corpus-mean weight (division-free
     # integer comparison; see q_dsir_weights)
-    stats = scores.agg(F.sum("dsir_u").alias("s"),
+    stats = scored.agg(F.sum("dsir_u").alias("s"),
                        F.count("*").alias("n"))
-    scores = (scores.crossJoin(F.broadcast(stats))
-              .select("doc_id", "n_tokens", "dsir_u",
-                      (F.col("dsir_u") * F.col("n") > F.col("s"))
-                      .alias("selected")))
-    audit = (verdicts.join(scores, "doc_id")
+    audit = (scored.crossJoin(F.broadcast(stats))
+             .select("doc_id", "verdict", "n_tokens", "dsir_u",
+                     (F.col("dsir_u") * F.col("n") > F.col("s"))
+                     .alias("selected"))
              .withColumn("kept", (F.col("verdict") == "kept")
                          & F.col("selected")))
     audit.write.mode("overwrite").parquet(f"{args.output}/audit")

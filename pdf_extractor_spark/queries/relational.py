@@ -595,20 +595,28 @@ FROM per_doc GROUP BY source ORDER BY source
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 text metrics (text_validator.py:95-104): word count, avg word
-    length, distinct characters per doc. The char-distinct runs on the
-    exploded character stream — still JVM-side, no UDF."""
+    length, distinct characters per doc — every signal is doc-local,
+    so all three are array folds inside ONE projection (the textstats
+    staged-split rule). The first cut exploded the word stream AND the
+    character stream into two keyed aggregates joined back on doc_id —
+    at 10^12 docs that shuffles every token and every character of the
+    corpus twice to recompute facts each row already owned; this shape
+    shuffles nothing but the presentation sort."""
     docs = _t(spark, sf_dir, "documents")
-    chars = (docs.select("doc_id",
-                         F.explode(F.split("text", "")).alias("ch"))
-             .filter(F.col("ch") != ""))
-    uc = chars.groupBy("doc_id").agg(
-        F.countDistinct("ch").alias("unique_chars"))
-    w = _words(spark, sf_dir)
-    wm = w.groupBy("doc_id").agg(
-        F.count("*").alias("word_count"),
-        F.round(F.sum(F.length("word")).cast("double") / F.count("*"), 4)
-         .alias("avg_word_length"))
-    return wm.join(uc, "doc_id").orderBy("doc_id")
+    st = (docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+        F.expr("filter(split(text, ''), x -> x <> '')").alias("cs"))
+        .filter(F.size("w") > 0))
+    return (st.select(
+        "doc_id",
+        F.size("w").cast("long").alias("word_count"),
+        F.round(F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+                .cast("double") / F.size("w"), 4)
+        .alias("avg_word_length"),
+        F.expr("CAST(size(array_distinct(cs)) AS BIGINT)")
+        .alias("unique_chars"))
+        .orderBy("doc_id"))
 
 
 ORACLE_TEXT_METRICS = _WORDS_CTE + """,

@@ -539,7 +539,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import _BG_EXPR, _W_EXPR
 
     docs = _t(spark, sf_dir, "documents")
-    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
     hashes = docs.select(F.md5("text").alias("h"), "doc_id")
     keep_min = hashes.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     dup = (hashes.join(keep_min, "h")
@@ -548,20 +547,31 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("is_duplicate")))
     contam = ddp.q_benchmark_contamination(spark, sf_dir) \
         .select("doc_id", "contaminated")
+    # quality_bp is a doc-LOCAL fold (the q_quality_score formula), so
+    # it rides the SAME projection as the repetition fold — the first
+    # cut materialized the quality query and joined it back on doc_id,
+    # one avoidable full-corpus shuffle (the nb_train/select-CLI rule)
     base = (docs.select("doc_id", F.expr(_W_EXPR).alias("w"))
             .withColumn("bg", F.expr(_BG_EXPR))
             .select("doc_id", F.expr(
                 "IF(size(bg) = 0, CAST(0 AS BIGINT), "
                 "(10000 * (CAST(size(bg) AS BIGINT) "
                 "- CAST(size(array_distinct(bg)) AS BIGINT))) "
-                "div CAST(size(bg) AS BIGINT))").alias("rep_bp")))
+                "div CAST(size(bg) AS BIGINT))").alias("rep_bp"),
+                F.expr(f"""IF(size(w) = 0, CAST(0 AS BIGINT), CAST(
+                    80 * least(size(w), 50)
+                    + least(3000, (15000 * size(filter(w, x ->
+                          x in ({_in_list('en')})))) div size(w))
+                    + 3000 - least(3000, (3000 * abs(
+                          aggregate(w, 0L, (acc, x) -> acc + length(x))
+                          - 5 * size(w))) div (5 * CAST(size(w)
+                          AS BIGINT))) AS BIGINT))""")
+                .alias("quality_bp")))
     out = (base
-           .join(quality, "doc_id", "left")
            .join(dup, "doc_id", "left")
            .join(contam, "doc_id", "left")
            .select(
-               "doc_id",
-               F.coalesce("quality_bp", F.lit(0)).alias("quality_bp"),
+               "doc_id", "quality_bp",
                "is_duplicate",
                F.coalesce("contaminated", F.lit(False))
                 .alias("contaminated"),

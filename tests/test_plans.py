@@ -739,3 +739,29 @@ class TestTrainingPlans:
         assert re.search(r"WindowGroupLimit.*\n.*Partial", plan,
                          ) or plan.count("WindowGroupLimit") >= 2, plan
         assert nodes(plan, "SortMergeJoin") == 0, plan
+
+    def test_text_metrics_zero_shuffle(self, spark):
+        """All three A4 signals are doc-local folds in one projection
+        — no explode, no aggregate, no join; only the presentation
+        sort exchanges (the first cut shuffled the full word AND char
+        streams through two keyed aggregates + a doc_id join)."""
+        plan = plan_of(relational.q_text_metrics(spark, SF_DIR))
+        assert nodes(plan, "Generate") == 0, plan
+        assert nodes(plan, "HashAggregate") == 0, plan
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_curation_pipeline_quality_rides_base_scan(self, spark):
+        """The quality fold lands in the same projection as the
+        repetition fold — the assembly joins only the two genuinely
+        keyed signals (dedup winner, contamination); no third doc_id
+        join exists for quality."""
+        from pdf_extractor_spark.queries import textstats
+        plan = plan_of(textstats.q_curation_pipeline(spark, SF_DIR))
+        # 5 joins = 2 assembly (dup, contam) + 3 internal to those
+        # keyed signals; before the fusion quality was a 3rd assembly
+        # join with its own corpus scan (6 joins, 7 scans)
+        assert nodes(plan, "SortMergeJoin") == 0, plan
+        assert nodes(plan, "BroadcastHashJoin") <= 5, plan
+        assert nodes(plan, "Scan parquet") <= 6, plan

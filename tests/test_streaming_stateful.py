@@ -367,3 +367,64 @@ def test_streaming_crawl_dedup_lag_ttl_eviction_errs_kept_side(
                         ("https://far.example/q", "kept"),
                         ("https://far.example/r", "kept"),
                         ("https://x.com/p", "kept")]
+
+
+def test_streaming_incremental_dedup_state_grows(spark, tmp_path):
+    """foreachBatch incremental dedup: batch 1 admits its docs and
+    materializes their hash/band rows; batch 2's exact copy of a
+    batch-1 doc is caught with the right representative, its near-dup
+    (one word changed) is caught via the band tables, and a genuinely
+    new doc is admitted. Within-batch copies stay 'new' (the batch
+    contract of dedup_incremental)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming.incremental import \
+        incremental_dedup_stream
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("upsilon", "psi")  # 1/20 words changed
+    schema = "doc_id long, text string"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(pd.DataFrame(
+            rows, columns=["doc_id", "text"]), schema=schema)
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        src = str(tmp_path / "src")
+        _os.makedirs(src, exist_ok=True)
+        _shutil.copy(part, _os.path.join(src, name))
+
+    write_file([(1, base), (2, "totally different text here now"),
+                (3, base)], "b1.parquet")   # 3 = within-batch copy of 1
+    write_file([(10, base),                 # exact dup of batch-1 doc
+                (11, near),                 # near dup (bands)
+                (12, "unrelated fresh content words")], "b2.parquet")
+
+    state = str(tmp_path / "state")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "src")))
+    q = incremental_dedup_stream(stream, state,
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    v = {r.doc_id: (r.verdict, r.representative) for r in
+         spark.read.parquet(f"{state}/verdicts").collect()}
+    # batch 1: empty state -> everything new, incl. the in-batch copy
+    assert v[1] == ("new", None) and v[3] == ("new", None)
+    assert v[2] == ("new", None)
+    # batch 2: exact via the hash table (min doc_id rep), near via
+    # the band tables, fresh admitted
+    assert v[10] == ("exact_dup", 1)
+    assert v[11][0] == "near_dup" and v[11][1] in (1, 3)
+    assert v[12] == ("new", None)
+    # state grew by exactly the admitted docs
+    admitted = {r.doc_id for r in
+                spark.read.parquet(f"{state}/hash").collect()}
+    assert admitted == {1, 2, 3, 12}

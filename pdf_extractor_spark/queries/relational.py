@@ -563,6 +563,44 @@ ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup — the corpus composition table a training run
+    publishes: per (lang, source), per-lang, and grand-total doc/token/
+    byte counts with tokens-per-doc, all three grouping levels from
+    ONE pass (ROLLUP grouping sets). The token count is a doc-local
+    array fold riding the anchoring scan; the aggregate map-side
+    combines per grouping set, so the exchange carries
+    (levels × groups) rows per partition, never docs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars",
+        F.expr("CAST(size(filter(split(text, ' '), x -> x <> '')) "
+               "AS BIGINT)").alias("toks"))
+    return (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").alias("tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.expr("sum(toks) div count(*)")
+                 .alias("tokens_per_doc"))
+            .orderBy(F.asc_nulls_last("lang"),
+                     F.asc_nulls_last("source")))
+
+
+ORACLE_DATACARD = """
+WITH d AS (
+  SELECT lang, source, n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS toks
+  FROM documents
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(toks) // COUNT(*) AS BIGINT) AS tokens_per_doc
+FROM d GROUP BY ROLLUP(lang, source)
+ORDER BY lang NULLS LAST, source NULLS LAST
+"""
+
+
 def q_source_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 two-level aggregation (chapter_processor.py:168-177 analog):
     per-doc word counts, then per-source averages — partial+final
@@ -993,6 +1031,7 @@ QUERIES = {
     "revenue_rollup": (q_revenue_rollup, ORACLE_ROLLUP),
     "value_percentiles": (q_value_percentiles, ORACLE_PERCENTILES),
     "status_priority_cube": (q_status_priority_cube, ORACLE_CUBE),
+    "corpus_datacard": (q_corpus_datacard, ORACLE_DATACARD),
     "source_doc_stats": (q_source_doc_stats, ORACLE_SOURCE_STATS),
     "text_metrics": (q_text_metrics, ORACLE_TEXT_METRICS),
     "sentence_merge_flags": (q_sentence_merge_flags, ORACLE_MERGE_FLAGS),

@@ -765,3 +765,13 @@ class TestTrainingPlans:
         assert nodes(plan, "SortMergeJoin") == 0, plan
         assert nodes(plan, "BroadcastHashJoin") <= 5, plan
         assert nodes(plan, "Scan parquet") <= 6, plan
+
+    def test_datacard_rollup_single_pass(self, spark):
+        """All three grouping levels come from ONE aggregate (Expand +
+        partial/final HashAggregate pair) over one scan — never a
+        union of three separate aggregations."""
+        plan = plan_of(relational.q_corpus_datacard(spark, SF_DIR))
+        assert nodes(plan, "Expand") == 1, plan
+        assert nodes(plan, "Scan parquet") == 1, plan
+        assert nodes(plan, "Union") == 0, plan
+        assert "partial_count" in plan, plan

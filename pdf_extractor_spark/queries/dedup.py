@@ -1115,6 +1115,132 @@ ORDER BY label
 """
 
 
+
+
+# --- LSH recall audit ----------------------------------------------------
+
+RECALL_MOD = 10   # deterministic audit sample: every 10th doc
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-recall audit of the MinHash-LSH banding, as a
+    driver-checked query: on a deterministic sample (every
+    ``RECALL_MOD``-th doc), compare the band-bucket candidate set
+    against EXACT distinct-word Jaccard for every sample pair, and
+    report per-Jaccard-decile pair counts and candidate recall — the
+    banding S-curve the dedup pass's precision/recall trade rests on
+    (the standalone curve lives in ``tools/lsh_recall_eval.py``; this
+    query pins a DuckDB-oracled slice of it into the correctness
+    gate).
+
+    Scale shape: the all-pairs ground truth is the audit's CONTRACT
+    and runs on the bounded sample only (at 10^12 docs the sample
+    becomes a fixed-count hash sample; the production dedup path never
+    does all-pairs). Within the sample: one crossJoin of the staged
+    distinct-word arrays (a < b), the same wide-aggregate signature
+    build as ``_minhash_sigs``, and a band-keyed equi self-join for
+    candidates."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % RECALL_MOD) == 0)
+            .filter(F.trim(F.col("text")) != ""))
+    ws = docs.select("doc_id", F.expr(
+        "array_distinct(filter(split(text, ' '), x -> x <> ''))")
+        .alias("ws")).localCheckpoint()  # feeds pairs twice + sigs
+    a = ws.select(F.col("doc_id").alias("a"), F.col("ws").alias("wa"))
+    b = ws.select(F.col("doc_id").alias("b"), F.col("ws").alias("wb"))
+    jac = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+           .select("a", "b", F.expr(
+               "(10000 * CAST(size(array_intersect(wa, wb)) AS BIGINT))"
+               " div CAST(size(array_union(wa, wb)) AS BIGINT)")
+               .alias("jac_bp")))
+    words = (ws.select("doc_id", F.explode("ws").alias("word"))
+             .withColumn("h", _HASH_SPARK(F.col("word"))))
+    aggs = [
+        F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % F.lit(MINHASH_PRIME))
+         .alias(f"s{j}")
+        for j, (pa, pb) in enumerate(MINHASH_PERMS)
+    ]
+    stack_args = ", ".join(f"{j}, s{j}" for j in range(len(MINHASH_PERMS)))
+    sigs = (words.groupBy("doc_id").agg(*aggs)
+            .selectExpr("doc_id",
+                        f"stack({len(MINHASH_PERMS)}, {stack_args})"
+                        " AS (j, sig)"))
+    slot = lambda k: F.max(F.when(F.col("j") % LSH_ROWS == k,
+                                  F.col("sig")))
+    bands = (sigs.withColumn("band", F.floor(F.col("j") / LSH_ROWS)
+                             .cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.concat_ws("-", slot(0).cast("string"),
+                              slot(1).cast("string"),
+                              slot(2).cast("string"),
+                              slot(3).cast("string")).alias("band_key")))
+    cand = (bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+            .join(bands.select(F.col("doc_id").alias("b"), "band",
+                               "band_key"), ["band", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct()
+            .withColumn("is_cand", F.lit(1).cast("long")))
+    return (jac.join(cand, ["a", "b"], "left")
+            .groupBy(F.expr("jac_bp div 1000").alias("jac_decile"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.coalesce("is_cand", F.lit(0)))
+                 .alias("n_candidates"))
+            .withColumn("recall_bp",
+                        F.expr("(10000 * n_candidates) div n_pairs"))
+            .orderBy("jac_decile"))
+
+
+ORACLE_LSH_RECALL = f"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {RECALL_MOD} = 0 AND trim(text) <> ''
+), ws AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS ws
+  FROM sample
+), jac AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         (10000 * CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT))
+           // CAST(len(list_distinct(list_concat(x.ws, y.ws)))
+                   AS BIGINT) AS jac_bp
+  FROM ws x JOIN ws y ON x.doc_id < y.doc_id
+), tok AS (
+  SELECT doc_id, unnest(ws) AS word FROM ws
+), hashed AS (
+  SELECT doc_id, {_HASH_SQL.format(c='word')} AS h FROM tok
+), perms(j, pa, pb) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, j, MIN((pa * h + pb) % {MINHASH_PRIME}) AS sig
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT) AS band,
+         MAX(CASE WHEN j % {LSH_ROWS} = 0 THEN CAST(sig AS VARCHAR) END)
+         || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 1 THEN CAST(sig AS VARCHAR) END)
+         || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 2 THEN CAST(sig AS VARCHAR) END)
+         || '-' ||
+         MAX(CASE WHEN j % {LSH_ROWS} = 3 THEN CAST(sig AS VARCHAR) END)
+           AS band_key
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(j / {LSH_ROWS}.0) AS INT)
+), cand AS (
+  SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+  FROM bands xa JOIN bands xb
+    ON xa.band = xb.band AND xa.band_key = xb.band_key
+   AND xa.doc_id < xb.doc_id
+)
+SELECT jac_bp // 1000 AS jac_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST((10000 * SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS recall_bp
+FROM jac LEFT JOIN cand c ON jac.a = c.a AND jac.b = c.b
+GROUP BY jac_bp // 1000 ORDER BY jac_decile
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_EXACT),
     "dedup_sentences": (q_dedup_sentences, ORACLE_DEDUP_SENTENCES),
@@ -1125,6 +1251,7 @@ QUERIES = {
     "dedup_clusters_converged": (q_dedup_clusters_converged,
                                  ORACLE_CLUSTERS_CONVERGED),
     "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
+    "lsh_recall_audit": (q_lsh_recall_audit, ORACLE_LSH_RECALL),
     "dedup_incremental": (q_dedup_incremental,
                           ORACLE_DEDUP_INCREMENTAL),
     "benchmark_contamination": (q_benchmark_contamination,

@@ -197,7 +197,13 @@ def with_quality(df: DataFrame) -> DataFrame:
     a doc-local projection (zero shuffle), so the extraction CLI can
     attach quality verdicts in the SAME scan that extracts
     (``extract --with-quality``)."""
-    for c in ("w", "bg"):
+    # Guard EVERY name this function creates — intermediates that are
+    # later dropped (w, bg, sum_len, nb, top) would silently destroy a
+    # caller's column of the same name, and outputs (n_words, wlen_bp,
+    # dup_bp, top_bp, verdict) would silently overwrite one (ADVICE
+    # r04: the docstring promises every input column survives).
+    for c in ("w", "bg", "sum_len", "nb", "top",
+              "n_words", "wlen_bp", "dup_bp", "top_bp", "verdict"):
         if c in df.columns:
             raise ValueError(f"with_quality: input already has '{c}'")
     staged = df \

@@ -379,6 +379,14 @@ def bpe_train_batched(words: DataFrame,
                    " concat(' ', replace(p, ' ', ''), ' ')))")
                    .alias("seg"))
                .localCheckpoint())
+    if not batches:
+        # Degenerate corpus (empty, or every word a single character)
+        # selects zero pairs in round 1 — return an empty merge table
+        # with the documented schema instead of raising (ADVICE r04).
+        merges = cur.sparkSession.createDataFrame(
+            [], "round int, rn int, lhs string, rhs string,"
+                " pair_count bigint")
+        return merges, cur
     merges = batches[0]
     for b in batches[1:]:
         merges = merges.unionByName(b)

@@ -99,10 +99,25 @@ def probe(batch: DataFrame, ex_hash: DataFrame,
                     .alias("representative")))
 
 
-def _state(spark, state_dir: str, family: str, schema: str) -> DataFrame:
+def _state(spark, state_dir: str, family: str, schema: str,
+           before_batch: int) -> DataFrame:
+    """State as of batches STRICTLY BEFORE ``before_batch``. A replayed
+    micro-batch (foreachBatch retry after a failure that already wrote
+    some of batch N's own hash/band output) must NOT probe against its
+    own leftover rows — otherwise genuinely-new docs flip to
+    exact_dup/near_dup with themselves and the overwritten state drops
+    them, breaking idempotency (ADVICE r04)."""
     path = os.path.join(state_dir, family)
-    subdirs = [os.path.join(path, d) for d in os.listdir(path)] \
-        if os.path.isdir(path) else []
+    subdirs = []
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if not d.startswith("batch="):
+                continue
+            try:
+                if int(d.split("=", 1)[1]) < before_batch:
+                    subdirs.append(os.path.join(path, d))
+            except ValueError:
+                continue
     if not subdirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*subdirs)
@@ -117,8 +132,9 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint()  # probed by 3 consumers
-        ex_hash = _state(spark, state_dir, "hash", _HASH_SCHEMA)
-        ex_bands = _state(spark, state_dir, "bands", _BAND_SCHEMA)
+        ex_hash = _state(spark, state_dir, "hash", _HASH_SCHEMA, batch_id)
+        ex_bands = _state(spark, state_dir, "bands", _BAND_SCHEMA,
+                          batch_id)
         verdicts = probe(batch, ex_hash, ex_bands).localCheckpoint()
         verdicts.write.mode("overwrite").parquet(
             f"{state_dir}/verdicts/batch={batch_id}")

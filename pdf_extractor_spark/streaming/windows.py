@@ -21,6 +21,7 @@ semantics on top of idempotent per-batch overwrites.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -253,10 +254,16 @@ def streaming_upsert_latest(spark: SparkSession, source_dir: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         write_gen, read_gen = _gen_paths(batch_id)
-        try:
+        # Explicit existence probe, NOT a bare except: a transient IO
+        # error or corrupt footer while reading the previous generation
+        # must fail the batch (checkpoint retries it) rather than be
+        # mistaken for "first batch" and silently rewrite the table
+        # from this micro-batch alone (ADVICE r04).
+        if os.path.isdir(read_gen) and any(
+                f.endswith(".parquet") for f in os.listdir(read_gen)):
             cur = batch_df.sparkSession.read.parquet(read_gen)
             merged = cur.unionByName(batch_df)
-        except Exception:
+        else:
             merged = batch_df  # first batch: no table yet
         latest = (merged
                   .groupBy("url")

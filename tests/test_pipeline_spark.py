@@ -383,3 +383,23 @@ def test_assemble_cli_pack_invariants(spark, tmp_path):
     # shards: every kept doc exactly once, checksums consistent
     assert sum(r.n_docs for r in shards) == len(kept_ids)
     assert sum(r.id_checksum for r in shards) == sum(kept_ids)
+
+
+def test_with_quality_rejects_all_colliding_columns(spark):
+    """ADVICE r04: with_quality promises every input column survives —
+    it must refuse inputs already carrying ANY name it creates,
+    including intermediates it later drops (sum_len, nb, top) and
+    outputs it would overwrite (n_words, verdict, ...)."""
+    import pytest as _pytest
+
+    from pdf_extractor_spark.queries.curation import with_quality
+    base = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id long, text string")
+    for c in ("w", "bg", "sum_len", "nb", "top",
+              "n_words", "wlen_bp", "dup_bp", "top_bp", "verdict"):
+        bad = base.withColumn(c, F.lit(1))
+        with _pytest.raises(ValueError, match=c):
+            with_quality(bad)
+    # clean input still works and keeps its extra column
+    ok = with_quality(base.withColumn("extra", F.lit(7)))
+    assert "extra" in ok.columns and "verdict" in ok.columns

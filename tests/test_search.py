@@ -332,3 +332,19 @@ class TestBpeBatched:
         bad = vocab.filter(
             "replace(trim(seg), ' ', '') <> word").count()
         assert bad == 0
+
+
+class TestBatchedBpeDegenerate:
+    def test_empty_and_single_char_vocab_return_empty_merges(
+            self, spark):
+        """ADVICE r04: a corpus whose round-1 pair selection is empty
+        (single-character words — no adjacent pairs) must return an
+        empty merge table with the documented schema, not IndexError."""
+        from pdf_extractor_spark.queries.search import bpe_train_batched
+        words = spark.createDataFrame(
+            [("a", 5), ("b", 3)], "word string, cnt bigint")
+        merges, vocab = bpe_train_batched(words, rounds=2)
+        assert merges.count() == 0
+        assert merges.columns == ["round", "rn", "lhs", "rhs",
+                                  "pair_count"]
+        assert vocab.count() == 2

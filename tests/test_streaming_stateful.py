@@ -428,3 +428,55 @@ def test_streaming_incremental_dedup_state_grows(spark, tmp_path):
     admitted = {r.doc_id for r in
                 spark.read.parquet(f"{state}/hash").collect()}
     assert admitted == {1, 2, 3, 12}
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch retry scenario (ADVICE r04): a prior attempt of
+    batch 0 crashed AFTER writing its own hash/band state but BEFORE
+    the checkpoint committed, so the replay sees leftover
+    ``batch=0`` state containing its own rows. The probe must exclude
+    state at-or-after the current batch id — every batch-0 doc is
+    still 'new' on replay (not a dup of itself) and the overwritten
+    state is identical to a clean run."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming.incremental import (
+        band_rows, hash_rows, incremental_dedup_stream)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    schema = "doc_id long, text string"
+    rows = [(1, base), (2, "totally different text here now")]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "text"]), schema=schema)
+
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    _os.makedirs(src, exist_ok=True)
+    _shutil.copy(_glob.glob(_os.path.join(stage, "part-*.parquet"))[0],
+                 _os.path.join(src, "b1.parquet"))
+
+    # Simulate the failed attempt's leftover output for batch id 0.
+    state = str(tmp_path / "state")
+    hash_rows(df).write.mode("overwrite").parquet(
+        f"{state}/hash/batch=0")
+    band_rows(df).write.mode("overwrite").parquet(
+        f"{state}/bands/batch=0")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = incremental_dedup_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    v = {r.doc_id: (r.verdict, r.representative) for r in
+         spark.read.parquet(f"{state}/verdicts").collect()}
+    assert v[1] == ("new", None) and v[2] == ("new", None)
+    admitted = {r.doc_id for r in
+                spark.read.parquet(f"{state}/hash").collect()}
+    assert admitted == {1, 2}

@@ -48,6 +48,43 @@ def q_extract_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of the flagship (VERDICT r04 #6): the SAME
+    fused extraction pipeline as ``extract_docs_stats``, projected to
+    the metadata-derived columns DuckDB can recompute — per-lang doc
+    and failure counts. On the pre-extracted-text path the ONLY
+    failure mode is a row with neither payload nor text
+    (``pipeline/extract.py`` S5 contract), so the oracle recomputes
+    failures from the input table alone. What this pins: the
+    mapInPandas stage preserves every row (no silent drops/dupes at
+    the Arrow crossing) and routes exactly the documented rows to
+    ``failure_reason``. The text-derived fields (total_chars,
+    total_lines) stay golden-checked via pytest — DuckDB cannot run
+    the P1 normalizer."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    extracted = extract_pages(pages, levels=("lines",))
+    return (
+        extracted.groupBy("lang")
+        .agg(F.count("*").alias("docs"),
+             F.count("failure_reason").alias("failures"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXTRACT_COUNTS = """
+SELECT lang, COUNT(*) AS docs,
+       COUNT(*) FILTER (WHERE text IS NULL OR text = '') AS failures
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _DECODE_SCHEMA = ("doc_id long, media_type string, payload_bytes long, "
                   "width int, height int, n_frames int")
 
@@ -324,6 +361,7 @@ FROM c ORDER BY doc_id
 QUERIES = {
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
     "extract_docs_stats": (q_extract_docs_stats, None),  # rows-only
+    "extract_stats_counts": (q_extract_stats_counts, ORACLE_EXTRACT_COUNTS),
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL),
     "multimodal_frames": (q_multimodal_frames, ORACLE_FRAMES),
     "validation_report": (q_validation_report, None),  # rows-only (kernel)

@@ -23,6 +23,7 @@ Scale posture:
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator, List, Sequence
 
 import pandas as pd
@@ -186,6 +187,16 @@ def extract_pages(pages: DataFrame,
     lv = tuple(levels)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Test-only fault injection (tests/test_retry_determinism.py):
+        # when PDFX_RETRY_FAULT=1, attempt 0 of EVERY task dies after
+        # yielding its first Arrow batch — partial output a retry must
+        # fully replace, never append to. Requires master local[N,F]
+        # (F>1) or spark.task.maxFailures>1; a no-op in production.
+        fault = os.environ.get("PDFX_RETRY_FAULT") == "1"
+        if fault:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            fault = ctx is not None and ctx.attemptNumber() == 0
         for batch in batches:
             results: List[dict] = []
             for url, ts, payload, pre_text, lang in zip(
@@ -199,6 +210,9 @@ def extract_pages(pages: DataFrame,
                 rec["lang"] = lang
                 results.append(rec)
             yield pd.DataFrame(results)
+            if fault:
+                raise RuntimeError(
+                    "injected retry fault (attempt 0, post-first-batch)")
 
     return pages.mapInPandas(run, schema=schema)
 

@@ -465,3 +465,65 @@ def test_streaming_chunk_fanout_matches_batch(spark, tmp_path):
     want = {(r.doc_id, r.win_id): (r.win_tokens, r.win_hash)
             for r in chunk_fanout(docs).collect()}
     assert len(want) > 0 and got == want
+
+
+def test_streaming_funnel_flushes_on_live_clock(spark, tmp_path):
+    """VERDICT r04 #8: the outer-join flush proven under a
+    PROCESSING-TIME trigger with an idle-source tail — not at
+    availableNow batch boundaries. After the sentinel batch advances
+    the event-time watermark, the source goes idle; the unmatched
+    signup's null row must still emit on the live clock (Spark runs a
+    no-data micro-batch to evict/emit state once the watermark moved),
+    with NO further input files arriving."""
+    import datetime as dt
+    import time as _time
+
+    from pdf_extractor_spark.streaming.windows import \
+        streaming_conversion_funnel
+    from tests.test_streaming_latedata import _write_flat
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+
+    def ev(eid, ts, uid, etype):
+        return dict(event_id=eid, ts=ts, user_id=uid, event_type=etype,
+                    value=1.0, props="{}")
+
+    # batch 1: one matched pair (u1) + one never-matched signup (u2)
+    _write_flat(spark, [
+        ev(1, base, 1, "signup"),
+        ev(2, base + dt.timedelta(minutes=30), 1, "purchase"),
+        ev(3, base, 2, "signup"),
+    ], staging, src, "b1.parquet")
+    _time.sleep(1.1)
+    # batch 2 (sentinel): far-future rows on BOTH branches advance the
+    # global watermark past u2's flush horizon; after this the source
+    # is IDLE — the flush below happens on wall-clock triggers alone.
+    far = base + dt.timedelta(days=30)
+    _write_flat(spark, [
+        ev(98, far, 98, "signup"),
+        ev(99, far, 99, "purchase"),
+    ], staging, src, "b2.parquet")
+
+    sink = f"stream_funnel_live_{os.getpid()}"
+    q = (streaming_conversion_funnel(spark, src)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = _time.time() + 120
+        got = set()
+        while _time.time() < deadline:
+            got = {(r.user_id, r.signup_id, r.purchase_id, r.lag_us)
+                   for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+            if (2, 3, None, None) in got:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert (1, 1, 2, 30 * 60 * 1_000_000) in got   # matched pair
+    assert (2, 3, None, None) in got               # live-clock flush
+    # no phantom matches for the sentinel users
+    assert not any(u in (98, 99) and p is not None
+                   for (u, s, p, l) in got)

@@ -98,6 +98,26 @@ _SHINGLES_FROM_W = (
     " ELSE cast(array() as array<string>) END"
 )
 
+# Pushdown-PROOF shingle build: identical strings to _SHINGLES_FROM_W,
+# but linear under ANY inlining. The transform form indexes ``w`` from
+# inside its lambda, so when an optimizer rule substitutes
+# w := split(text) into it (predicate pushdown, InferFiltersFromGenerate
+# constraints, CollapseProject), split re-evaluates PER ELEMENT —
+# O(words²) per doc. Here the three slice() calls take the array as a
+# plain argument evaluated once per ROW, and the zip_with lambdas touch
+# only their bound elements, so even the fully-inlined expression stays
+# linear. Use this form for any shingle consumer whose plan lets
+# filters/constraints reach the scan (measured 52.7s → ~2s at 500k docs
+# for benchmark_contamination, tools/ab_outliers.py corpus).
+_SHINGLES_LINEAR_FROM_W = (
+    "CASE WHEN size(w) >= 3 THEN"
+    " zip_with(slice(w, 1, size(w)-2),"
+    " zip_with(slice(w, 2, size(w)-2), slice(w, 3, size(w)-2),"
+    " (b, c) -> concat(b, ' ', c)),"
+    " (a, bc) -> concat(a, ' ', bc))"
+    " ELSE cast(array() as array<string>) END"
+)
+
 
 def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<string>) with the split-word array staged in
@@ -1025,35 +1045,65 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str
     benchmark). Shingles travel as the same 56-bit md5 ints as the
     Jaccard path.
 
-    Scale shape (VERDICT r03 #3 rewrite): the corpus side never
-    shuffles by shingle value. Per-doc dedup is a DOC-LOCAL
-    ``array_distinct`` fold, so ``n_shingles = size(...)`` is computed
-    inside the scan projection with zero exchange; the benchmark
-    shingle set (tiny by construction) is built from a pruned second
-    scan and BROADCAST; only the *hit* rows of the corpus-side explode
-    reach the final ``groupBy(doc_id)``. At 10^12 docs the one
-    remaining exchange carries contaminated-shingle matches — roughly
-    nothing — instead of the whole token stream."""
+    Scale shape (VERDICT r03 #3 rewrite; staged-build form r05): the
+    corpus side never shuffles by shingle value. Shingle hashes are
+    built with the SPLIT STAGED (the ``_shingled`` rule — the r04 form
+    referenced the inline expression from the hash lambda and paid
+    O(words²) split re-evaluation per doc, 24.5s vs 2.3s at 500k docs
+    on the tools/ab_outliers.py corpus, and its computed-column
+    emptiness filter doubled that via predicate-pushdown inlining);
+    the benchmark shingle set (tiny by construction) broadcasts into a
+    real hash join, and the post-join ``groupBy(doc_id)`` partial-
+    aggregates map-side — a doc's shingles are co-located — so the one
+    corpus-keyed exchange carries ≤1 row per doc even on a duplicate-
+    saturated crawl where ~every shingle hits. (A broadcast-map fold
+    was tried and rejected: ``map_contains_key`` compiles to
+    ``array_contains(map_keys(...))`` — Spark maps are arrays, the
+    probe is linear, only a hash JOIN gets a real hash table.)"""
     docs = _t(spark, sf_dir, "documents")
-    sh_arr = F.expr(
-        f"array_distinct(transform({_SHINGLES_SPARK}, s -> "
-        "cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)))")
     is_bench = (F.col("doc_id") % BENCHMARK_MOD) == 0
-    bench = (docs.filter(is_bench)
-             .select(F.explode(sh_arr).alias("shingle"))
-             .distinct())
-    corpus = (docs.filter(~is_bench)
-              .select("doc_id", sh_arr.alias("sh"))
-              .withColumn("n_shingles", F.size("sh").cast("long"))
-              # <3-word docs have no shingles: absent from the oracle's
-              # totals (and would zero-div contamination_bp)
-              .filter(F.col("n_shingles") > 0))
-    hits = (corpus.select("doc_id", F.explode("sh").alias("shingle"))
-            .join(F.broadcast(bench), "shingle")
-            .groupBy("doc_id").agg(F.count("*").alias("hits")))
-    return (corpus.drop("sh").join(hits, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce("hits", F.lit(0)).alias("n_contaminated"))
+    # Cheap pre-filter equivalent to the old n_shingles > 0 post-filter
+    # (shingle count = words-2, and array_distinct keeps non-emptiness):
+    # filtering on the COMPUTED shingle column let predicate pushdown
+    # substitute the whole hash pipeline into the Filter node and
+    # evaluate it twice per row (measured at 500k docs by
+    # tools/ab_outliers.py); this form pushes one split to the scan.
+    has_sh = F.expr("size(split(text, ' ')) >= 3")
+
+    def hashed(side):
+        # _SHINGLES_LINEAR_FROM_W because this plan's Generate nodes
+        # let InferFiltersFromGenerate push the full (substituted)
+        # expression into the scan Filter — the transform form would
+        # re-run split per element there, O(words²)/doc.
+        return (side
+                .select("doc_id", F.split("text", " ").alias("w"))
+                .select("doc_id",
+                        F.expr(_SHINGLES_LINEAR_FROM_W).alias("shs"))
+                .select("doc_id", F.expr(
+                    "array_distinct(transform(shs, s -> "
+                    "cast(conv(substring(md5(s), 1, 14), 16, 10) "
+                    "as bigint)))").alias("sh")))
+
+    bench = (hashed(docs.filter(is_bench & has_sh))
+             .select(F.explode("sh").alias("shingle"))
+             .distinct()
+             .withColumn("hit", F.lit(1)))
+    # ONE corpus consumer: the explode carries every (distinct) shingle,
+    # the bench set probes via the broadcast HASH join (a real hash
+    # table — a map_contains_key fold compiles to
+    # array_contains(map_keys(...)), a LINEAR scan per shingle), LEFT so
+    # zero-hit docs survive, and n_shingles falls out of the same
+    # groupBy as the hit count — no totals branch, no doc_id join-back.
+    # The groupBy(doc_id) partial-aggregates map-side (a doc's shingles
+    # are co-located in its own row), so the one corpus-keyed exchange
+    # carries ≤1 row per doc even at a 100% hit rate (the duplicate-
+    # saturated adversary tools/ab_outliers.py measures).
+    return (hashed(docs.filter(~is_bench & has_sh))
+            .select("doc_id", F.explode("sh").alias("shingle"))
+            .join(F.broadcast(bench), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("hit").alias("n_contaminated"))
             .withColumn("contamination_bp",
                         F.floor(F.lit(10000) * F.col("n_contaminated")
                                 / F.col("n_shingles")).cast("long"))

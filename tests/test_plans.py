@@ -208,23 +208,34 @@ class TestExtractionStage:
 
 class TestRound3Plans:
     def test_contamination_benchmark_broadcast(self, spark):
-        """The held-out shingle set must broadcast — the corpus side
-        never shuffles its shingles by value for the probe join
-        (VERDICT r03 #3 rewrite): n_shingles is a doc-local
-        array_distinct fold inside the scan projection (NO distinct(),
-        NO groupBy on the totals side), and the only hash exchanges
-        are the bench-set distinct and the groupBy(doc_id) of HIT
-        rows after the broadcast join."""
+        """r05 staged-build form: the held-out shingle set broadcasts
+        into a real hash join; the corpus side never shuffles by
+        shingle value, the hit groupBy(doc_id) partial-aggregates
+        map-side (≤1 row/doc crosses even at a 100% hit rate), and —
+        the r05 fixes — the shingle hash pipeline binds split(text)
+        ONCE (staged projections, no O(words²) lambda re-evaluation)
+        and the emptiness filter is the scan-cheap
+        size(split(...)) >= 3 form, never the computed shingle column
+        (predicate pushdown would inline the whole hash pipeline into
+        the Filter and evaluate it twice per row)."""
         plan = plan_of(dedup.q_benchmark_contamination(spark, SF_DIR))
-        assert nodes(plan, "BroadcastHashJoin") == 2, plan  # probe + hits
+        assert nodes(plan, "BroadcastHashJoin") == 1, plan  # LEFT probe
         assert nodes(plan, "SortMergeJoin") == 0, plan
-        # 3 hash/range exchanges total: bench distinct (tiny), hit-row
-        # groupBy(doc_id), presentation sort. The totals lineage is
-        # scan -> filter -> project straight into the join.
+        # 3 hash/range exchanges: bench distinct, doc groupBy (carrying
+        # BOTH n_shingles and the hit count), presentation sort
         assert nodes(plan, "Exchange") <= 3, plan
-        # totals never aggregate: 2 aggregate pairs = bench distinct +
-        # hits count, each partial+final
+        # bench distinct + the one doc aggregate, each partial+final
         assert nodes(plan, "HashAggregate") == 4, plan
+        # staged-build invariants: no fresh split(text) is ever indexed
+        # by a lambda variable (the O(words²) signature — shingle
+        # lambdas must index the STAGED w column), and the hash
+        # pipeline never rides a Filter condition (pushdown inlining)
+        import re
+        assert not re.search(r"split\(text[^]]*\)\[lambda", plan), plan
+        for line in plan.splitlines():
+            if "Filter" in line and "md5" in line:
+                raise AssertionError(f"hash pipeline inlined into a "
+                                     f"Filter: {line[:200]}")
 
     def test_pii_scrub_is_scan_project_sort(self, spark):
         """PII redaction is a pure projection: the only exchange is the

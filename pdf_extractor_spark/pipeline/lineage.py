@@ -70,11 +70,16 @@ def completed_batches(spark: SparkSession, out_dir: str,
 def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                   snapshot_id: int, num_batches: int = 8,
                   levels: Sequence[str] = ("raw",),
-                  max_batches: Optional[int] = None) -> List[int]:
+                  max_batches: Optional[int] = None,
+                  extractor=None) -> List[int]:
     """Process ``pages`` in resumable batches; returns batch ids run.
 
     ``max_batches`` limits work for kill/restart testing — a subsequent
     call with the same arguments processes only the remainder.
+    ``extractor`` overrides the per-batch extraction body (a callable
+    DataFrame → DataFrame with the raw-level schema, e.g.
+    ``extract_pages_hybrid`` for the JVM text fast lane); the default
+    is ``extract_pages(batch, levels=levels)``.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = set(completed_batches(spark, out_dir, snapshot_id))
@@ -95,7 +100,8 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     ran: List[int] = []
     for batch_id in todo:
         batch = batched.filter(F.col("batch_id") == batch_id).drop("batch_id")
-        extracted = extract_pages(batch, levels=levels).cache()
+        extracted = (extractor(batch) if extractor is not None
+                     else extract_pages(batch, levels=levels)).cache()
         try:
             # Row counts ride the WRITE jobs as observe() metrics —
             # two actions per batch total, no separate count jobs

@@ -275,7 +275,11 @@ def shard_manifest(docs: DataFrame) -> DataFrame:
             .groupBy("shard_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
-                 F.sum("doc_id").alias("id_checksum")))
+                 # XOR, not SUM: ids from hash-derived keyspaces
+                 # (xxhash64(url) in the rehearsal chain) span ±2^63
+                 # and a sum overflows under ANSI; xor is closed over
+                 # long and order-insensitive — the right checksum.
+                 F.bit_xor("doc_id").alias("id_checksum")))
 
 
 ORACLE_SHARD_EXPORT = f"""
@@ -287,7 +291,7 @@ WITH s AS (
 )
 SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       CAST(BIT_XOR(doc_id) AS BIGINT) AS id_checksum
 FROM s GROUP BY shard_id ORDER BY shard_id
 """
 

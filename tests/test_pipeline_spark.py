@@ -380,9 +380,14 @@ def test_assemble_cli_pack_invariants(spark, tmp_path):
     assert [r.seq_id for r in man] == list(range(len(man)))
     assert all(r.seq_tokens == SEQ_LEN for r in man[:-1])
     assert sum(r.seq_tokens for r in man) == off
-    # shards: every kept doc exactly once, checksums consistent
+    # shards: every kept doc exactly once, checksums consistent (the
+    # per-shard xor checksums recombine to the xor of all kept ids)
+    import functools
+    import operator
     assert sum(r.n_docs for r in shards) == len(kept_ids)
-    assert sum(r.id_checksum for r in shards) == sum(kept_ids)
+    assert functools.reduce(operator.xor,
+                            (r.id_checksum for r in shards)) == \
+        functools.reduce(operator.xor, kept_ids)
 
 
 def test_with_quality_rejects_all_colliding_columns(spark):

@@ -32,6 +32,8 @@ the control flow is unchanged.
 from __future__ import annotations
 
 import os
+import sys
+import time
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +66,42 @@ def _is_done(job_dir: str, stage: str) -> bool:
     return os.path.exists(_marker(job_dir, stage))
 
 
+def dedup_verdicts_exact_first(spark: SparkSession, docs: DataFrame,
+                               scratch_dir: str) -> DataFrame:
+    """``q_dedup_pipeline`` verdicts computed exact-FIRST: MinHash/LSH
+    runs on exact keepers only, verdicts expand back over the exact-dup
+    map. Value-identical to the registry query over all docs (pinned by
+    tests/test_rehearsal_chain.py::test_exact_first_matches_registry):
+    identical text ⇒ identical signatures ⇒ a dup occupies exactly its
+    keeper's buckets; a bucket's min doc_id is always a keeper (any
+    dup's keeper has a smaller id and the same bucket), so the star
+    edges between keepers — hence components and their minima, which
+    are always keepers — are unchanged, round for round. Signature cost
+    becomes proportional to UNIQUE docs, not the crawl.
+
+    ``scratch_dir`` materializes the keepers table (the registry body
+    reads a documents.parquet path); overwrite-idempotent."""
+    from pyspark.sql import Window
+    exact = (docs.select("doc_id", F.md5("text").alias("th"))
+             .withColumn("ek", F.min("doc_id")
+                         .over(Window.partitionBy("th")))
+             .select("doc_id", "ek"))
+    docs.join(exact.filter(F.col("doc_id") == F.col("ek"))
+              .select("doc_id"), "doc_id", "left_semi") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(scratch_dir, "documents.parquet"))
+    kv = q_dedup_pipeline(spark, scratch_dir).select(
+        F.col("doc_id").alias("ek"), F.col("verdict").alias("kv"),
+        F.col("representative").alias("kr"))
+    return (exact.join(kv, "ek")
+            .select("doc_id",
+                    F.when(F.col("doc_id") != F.col("ek"),
+                           F.lit("exact_dup"))
+                    .otherwise(F.col("kv")).alias("verdict"),
+                    F.when(F.col("doc_id") != F.col("ek"), F.col("ek"))
+                    .otherwise(F.col("kr")).alias("representative")))
+
+
 def _docs_table(df: DataFrame) -> DataFrame:
     """Extracted rows → the canonical documents-table shape. doc_id is
     a pure function of the url so a re-run (or a re-extracted batch)
@@ -92,13 +130,19 @@ def run_rehearsal(spark: SparkSession, warc_dir: str, job_dir: str,
     os.makedirs(job_dir, exist_ok=True)
     extract_dir = os.path.join(job_dir, "extract")
 
+    stage_secs: dict = {}
+
     def stage(name: str, deps_dir: str, body) -> str:
         """Overwrite-write ``body(deps_dir)`` outputs, then commit."""
         if not _is_done(job_dir, name):
+            t0 = time.time()
             body(deps_dir)
             if crash_after_stage == name:
                 raise InjectedCrash(f"post-{name} pre-commit crash point")
             _commit(job_dir, name)
+            stage_secs[name] = round(time.time() - t0, 1)
+            print(f"stage {name}: {stage_secs[name]}s",
+                  file=sys.stderr, flush=True)
         return os.path.join(job_dir, name)
 
     # --- stage 0: land the parsed pages table ONCE. The extract stage's
@@ -107,11 +151,18 @@ def run_rehearsal(spark: SparkSession, warc_dir: str, job_dir: str,
     # Python, so the crawl is parsed exactly once into columnar form and
     # the per-batch predicate then rides a pruned parquet scan — the
     # CC-WARC → Iceberg ingest step a 100 TB deployment runs anyway.
+    # The landing is PARTITIONED by the deterministic batch id, so each
+    # resumable extract batch prunes to its own directory instead of
+    # re-scanning the payload-heavy table num_batches times (at 2M docs
+    # the unpartitioned form re-read ~4 GB per batch).
     pages_path = os.path.join(job_dir, "pages.parquet")
 
     def mk_land(_):
-        read_warc(spark, warc_dir).write.mode("overwrite") \
-            .parquet(pages_path)
+        (read_warc(spark, warc_dir)
+         .withColumn("batch", F.pmod(F.xxhash64("url"),
+                                     F.lit(num_batches)).cast("int"))
+         .write.mode("overwrite").partitionBy("batch")
+         .parquet(pages_path))
     stage("land", warc_dir, mk_land)
 
     # --- stage 1: pages → extracted rows (batch-resumable). Raw level
@@ -119,18 +170,21 @@ def run_rehearsal(spark: SparkSession, warc_dir: str, job_dir: str,
     # the pure-JVM lane, payload records pay the Python kernels.
     if not _is_done(job_dir, "extract"):
         from .extract import extract_pages_hybrid
+        t0 = time.time()
         pages = spark.read.parquet(pages_path)
         extractor = (extract_pages_hybrid
                      if tuple(levels) == ("raw",) else None)
         run_resumable(spark, pages, extract_dir, SNAPSHOT_ID,
                       num_batches=num_batches, levels=tuple(levels),
                       max_batches=crash_after_extract_batches,
-                      extractor=extractor)
+                      extractor=extractor, batch_col="batch")
         if crash_after_extract_batches is not None and len(
                 completed_batches(spark, extract_dir,
                                   SNAPSHOT_ID)) < num_batches:
             raise InjectedCrash("mid-extract crash point")
         _commit(job_dir, "extract")
+        print(f"stage extract: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     # --- stage 2: documents table ---------------------------------------
     t1 = os.path.join(job_dir, "t1")
@@ -141,17 +195,19 @@ def run_rehearsal(spark: SparkSession, warc_dir: str, job_dir: str,
             .parquet(os.path.join(t1, "documents.parquet"))
     stage("documents", extract_dir, mk_documents)
 
-    # --- stage 3: dedup verdicts → kept ---------------------------------
+    # --- stage 3: dedup verdicts → kept (exact-first, the FineWeb
+    # stage order — see dedup_verdicts_exact_first) -----------------------
     t2 = os.path.join(job_dir, "t2")
 
     def mk_dedup(deps):
-        verdicts = q_dedup_pipeline(spark, deps)
+        docs = spark.read.parquet(os.path.join(deps, "documents.parquet"))
+        verdicts = dedup_verdicts_exact_first(
+            spark, docs, os.path.join(job_dir, "t1_keepers"))
         verdicts.write.mode("overwrite") \
             .parquet(os.path.join(job_dir, "dedup_verdicts"))
         kept = spark.read.parquet(
             os.path.join(job_dir, "dedup_verdicts")) \
             .filter(F.col("verdict") == "kept").select("doc_id")
-        docs = spark.read.parquet(os.path.join(deps, "documents.parquet"))
         docs.join(kept, "doc_id", "left_semi") \
             .write.mode("overwrite") \
             .parquet(os.path.join(t2, "documents.parquet"))

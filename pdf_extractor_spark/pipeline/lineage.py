@@ -71,7 +71,8 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                   snapshot_id: int, num_batches: int = 8,
                   levels: Sequence[str] = ("raw",),
                   max_batches: Optional[int] = None,
-                  extractor=None) -> List[int]:
+                  extractor=None,
+                  batch_col: Optional[str] = None) -> List[int]:
     """Process ``pages`` in resumable batches; returns batch ids run.
 
     ``max_batches`` limits work for kill/restart testing — a subsequent
@@ -80,6 +81,14 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     DataFrame → DataFrame with the raw-level schema, e.g.
     ``extract_pages_hybrid`` for the JVM text fast lane); the default
     is ``extract_pages(batch, levels=levels)``.
+    ``batch_col`` names a PRE-MATERIALIZED batch id column (holding
+    pmod(xxhash64(url), num_batches), e.g. a partition column of the
+    landed pages table): the per-batch filter then targets that column
+    directly, so a batch=partitioned layout gets real partition
+    pruning — one directory read per batch instead of num_batches full
+    scans of the payload-heavy table (measured by the rehearsal bench;
+    this is the bucket(url) pruning the module docstring promises on
+    the Iceberg table).
     """
     os.makedirs(out_dir, exist_ok=True)
     done = set(completed_batches(spark, out_dir, snapshot_id))
@@ -95,11 +104,12 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     # cost; the repeated scan itself is cheap IO here, and on the Iceberg
     # table the rule names, bucket(url) partitioning turns the same
     # predicate into real partition pruning (one scan per batch).
-    batched = pages.withColumn(
+    bcol = batch_col or "batch_id"
+    batched = pages if batch_col else pages.withColumn(
         "batch_id", F.pmod(F.xxhash64("url"), F.lit(num_batches)).cast("int"))
     ran: List[int] = []
     for batch_id in todo:
-        batch = batched.filter(F.col("batch_id") == batch_id).drop("batch_id")
+        batch = batched.filter(F.col(bcol) == batch_id).drop(bcol)
         extracted = (extractor(batch) if extractor is not None
                      else extract_pages(batch, levels=levels)).cache()
         try:

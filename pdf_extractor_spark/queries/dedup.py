@@ -91,6 +91,25 @@ _SHINGLES_SPARK = (
     " ELSE cast(array() as array<string>) END"
 )
 
+# Inline LINEAR twin of _SHINGLES_SPARK (identical strings): the
+# transform form above indexes a fresh split(text) from inside its
+# lambda, so it is O(words²) per doc wherever the optimizer inlines it
+# — including the size(...)>0 constraint InferFiltersFromGenerate
+# derives for explode consumers and pushes into the scan Filter. Here
+# each slice() takes the split array as a plain per-ROW argument, so
+# even the fully-inlined expression is linear. Prefer this for explode
+# consumers; _SHINGLES_SPARK is kept for reference and for plans where
+# the quadratic inlining cannot occur.
+_SHINGLES_LINEAR = (
+    "CASE WHEN size(split(text,' ')) >= 3 THEN"
+    " zip_with(slice(split(text,' '), 1, size(split(text,' '))-2),"
+    " zip_with(slice(split(text,' '), 2, size(split(text,' '))-2),"
+    " slice(split(text,' '), 3, size(split(text,' '))-2),"
+    " (b, c) -> concat(b, ' ', c)),"
+    " (a, bc) -> concat(a, ' ', bc))"
+    " ELSE cast(array() as array<string>) END"
+)
+
 _SHINGLES_FROM_W = (
     "CASE WHEN size(w) >= 3 THEN"
     " transform(sequence(0, size(w)-3),"
@@ -273,7 +292,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produced identically on both sides)
     all_shingles = (
         docs.select("doc_id",
-                    F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+                    F.explode(F.expr(_SHINGLES_LINEAR)).alias("shingle"))
         .select("doc_id",
                 F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10)
                  .cast("long").alias("shingle"))

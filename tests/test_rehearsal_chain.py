@@ -92,6 +92,42 @@ class TestRehearsalKillRestart:
             spark, os.path.join(crash_dir, "extract"),
             SNAPSHOT_ID)) == list(range(N_BATCHES))
 
+    def test_exact_first_matches_registry(self, spark, tmp_path):
+        """The chain's exact-first dedup (LSH over keepers only, then
+        expansion over the exact-dup map) must be VALUE-identical to
+        the registry q_dedup_pipeline over all docs — the closure
+        argument in dedup_verdicts_exact_first's docstring, pinned on a
+        corpus with exact-dup groups, near-dup families, and exact dups
+        OF near-dups."""
+        import pandas as pd
+
+        from pdf_extractor_spark.pipeline.compose import \
+            dedup_verdicts_exact_first
+        from pdf_extractor_spark.queries.dedup import q_dedup_pipeline
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "wanders home through the quiet evening fields")
+        rows = []
+        for i in range(40):
+            fam = i % 4
+            # 4 near-dup families; within each, ids i, i+4, ... carry
+            # slightly varied text; every third member is an EXACT copy
+            # of the family's first variant
+            variant = (base + f" family {fam}"
+                       + ("" if i % 3 == 0 else f" variant {i // 4}"))
+            rows.append({"doc_id": i, "text": variant, "lang": "en",
+                         "source": "t", "n_chars": len(variant)})
+        sf = str(tmp_path / "sf")
+        docs = spark.createDataFrame(pd.DataFrame(rows))
+        docs.write.parquet(f"{sf}/documents.parquet")
+        docs_back = spark.read.parquet(f"{sf}/documents.parquet")
+
+        got = sorted(tuple(r) for r in dedup_verdicts_exact_first(
+            spark, docs_back, str(tmp_path / "scratch")).collect())
+        want = sorted(tuple(r) for r in
+                      q_dedup_pipeline(spark, sf).collect())
+        assert got == want
+
     def test_chain_funnels_monotonically(self, spark, warc_dir, tmp_path):
         job = str(tmp_path / "mono")
         c = run_rehearsal(spark, warc_dir, job, budget=BUDGET,

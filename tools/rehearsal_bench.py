@@ -129,12 +129,16 @@ def main() -> int:
 
     def run_level(cpus: int, tag: str) -> dict:
         job_dir = f"/tmp/rehearsal_job_{args.docs}_{tag}"
+        # PYTHONPATH reaches the executor-side Python workers (the
+        # chain's mapInPandas closures unpickle pdf_extractor_spark
+        # there); driver-side sys.path alone is not enough.
+        env = {**os.environ, "PYTHONPATH": REPO}
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(cpus), "--warc-dir", warc_dir,
              "--job-dir", job_dir, "--budget", str(budget),
              "--num-batches", str(args.num_batches)],
-            capture_output=True, text=True, cwd="/tmp")
+            capture_output=True, text=True, cwd="/tmp", env=env)
         sys.stderr.write(proc.stderr[-3000:])
         if proc.returncode != 0:
             raise SystemExit(f"worker {tag} rc={proc.returncode}")

@@ -82,6 +82,11 @@ def dedup_verdicts_exact_first(spark: SparkSession, docs: DataFrame,
     ``scratch_dir`` materializes the keepers table (the registry body
     reads a documents.parquet path); overwrite-idempotent."""
     from pyspark.sql import Window
+    # NOTE: an eager localCheckpoint of `exact` was A/B'd at 2M docs
+    # and REVERTED — it measured slower at both core counts (dedup
+    # stage 161→220s at local[4], 70→87s at local[16]): the
+    # materialization pass costs a full scan+window of its own, and
+    # the two lazy consumers' scans overlap the page cache anyway.
     exact = (docs.select("doc_id", F.md5("text").alias("th"))
              .withColumn("ek", F.min("doc_id")
                          .over(Window.partitionBy("th")))
@@ -208,7 +213,11 @@ def run_rehearsal(spark: SparkSession, warc_dir: str, job_dir: str,
         kept = spark.read.parquet(
             os.path.join(job_dir, "dedup_verdicts")) \
             .filter(F.col("verdict") == "kept").select("doc_id")
-        docs.join(kept, "doc_id", "left_semi") \
+        # kept ⊆ exact keepers, so the survivor corpus semi-joins the
+        # (small) keepers table — never a third scan of the full docs
+        keepers = spark.read.parquet(
+            os.path.join(job_dir, "t1_keepers", "documents.parquet"))
+        keepers.join(kept, "doc_id", "left_semi") \
             .write.mode("overwrite") \
             .parquet(os.path.join(t2, "documents.parquet"))
     stage("dedup", t1, mk_dedup)

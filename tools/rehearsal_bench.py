@@ -84,7 +84,7 @@ def synth_warc_distributed(out_dir: str, n_docs: int, n_files: int = 128,
 
 
 def worker(cpus: int, warc_dir: str, job_dir: str, budget: int,
-           num_batches: int) -> int:
+           num_batches: int, levels: str) -> int:
     from pdf_extractor_spark.pipeline.compose import run_rehearsal
     from pdf_extractor_spark.session import get_spark
 
@@ -95,7 +95,8 @@ def worker(cpus: int, warc_dir: str, job_dir: str, budget: int,
         shutil.rmtree(job_dir)
     t0 = time.time()
     counts = run_rehearsal(spark, warc_dir, job_dir, budget=budget,
-                           num_batches=num_batches)
+                           num_batches=num_batches,
+                           levels=tuple(levels.split(",")))
     sec = time.time() - t0
     print(json.dumps({"cpus": cpus, "sec": round(sec, 1),
                       "docs_per_sec": round(counts["rows_in"] / sec, 1),
@@ -112,6 +113,10 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=0,
                     help="token budget (0 -> docs * 60, ~half the corpus)")
     ap.add_argument("--num-batches", type=int, default=4)
+    ap.add_argument("--levels", default="raw",
+                    help="comma list; 'raw' = hybrid JVM/Python fast "
+                         "lane, the full protocol chain = "
+                         "raw,lines,chapters,processed,markdown")
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--skip-warm", action="store_true",
@@ -121,7 +126,7 @@ def main() -> int:
 
     if args.worker:
         return worker(args.worker, args.warc_dir, args.job_dir, budget,
-                      args.num_batches)
+                      args.num_batches, args.levels)
 
     warc_dir = f"/tmp/rehearsal_warc_{args.docs}"
     synth_warc_distributed(warc_dir, args.docs)
@@ -137,7 +142,8 @@ def main() -> int:
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(cpus), "--warc-dir", warc_dir,
              "--job-dir", job_dir, "--budget", str(budget),
-             "--num-batches", str(args.num_batches)],
+             "--num-batches", str(args.num_batches),
+             "--levels", args.levels],
             capture_output=True, text=True, cwd="/tmp", env=env)
         sys.stderr.write(proc.stderr[-3000:])
         if proc.returncode != 0:

@@ -17,7 +17,7 @@ Env knobs:
                           run-to-run variance of a shared box)
   SPARK_GRAFT_PROTOCOL_DOCS  corpus size for the official >=60s-window
                           full-chain headline (BASELINE.md protocol;
-                          default 960000; 0 disables the lane)
+                          default 1440000; 0 disables the lane)
 All diagnostics go to stderr; stdout carries only the JSON line.
 """
 
@@ -137,7 +137,7 @@ def main() -> int:
     # warm-up clause is satisfied by the quick-headline runs above (same
     # code path, same session — workers, Arrow lanes and JIT are hot) plus
     # a scan-only pass that fills the OS page cache for the big corpus.
-    proto_docs = int(os.environ.get("SPARK_GRAFT_PROTOCOL_DOCS", "960000"))
+    proto_docs = int(os.environ.get("SPARK_GRAFT_PROTOCOL_DOCS", "1440000"))
     proto = {}
     if proto_docs > 0:
         proto_path = f"/tmp/bench_pages_protocol_{proto_docs}"

@@ -786,3 +786,43 @@ class TestTrainingPlans:
         assert nodes(plan, "Scan parquet") == 1, plan
         assert nodes(plan, "Union") == 0, plan
         assert "partial_count" in plan, plan
+
+
+class TestRegistryWidePlanInvariants:
+    def test_no_query_carries_quadratic_or_filter_inlined_heavy_exprs(
+            self, spark):
+        """Registry-wide sweep of every query's physical plan for the
+        two pathologies the round-5 contamination A/B uncovered
+        (BENCH/BASELINE.md round-5 section):
+
+        1. a fresh split() indexed by a lambda variable — O(words²)
+           per doc, re-evaluating the split per element; appears when
+           an optimizer rule (predicate pushdown, the size()>0
+           constraint InferFiltersFromGenerate derives for explodes)
+           substitutes a staged alias chain back into a lambda context;
+        2. an md5/transform-bearing expression inside a Filter
+           condition — the computed-column-filter pushdown inlining
+           that evaluates a projection-heavy pipeline twice per row.
+
+        Plans only (sf0.001 paths, nothing executes), so the sweep
+        stays cheap; a new query regressing either invariant fails by
+        name."""
+        import re
+
+        from pdf_extractor_spark.queries import queries as qreg
+
+        quadratic = re.compile(r"split\((text|ws)[^]]*\)\[lambda")
+        offenders = {}
+        for name, fn in qreg().items():
+            plan = plan_of(fn(spark, SF_DIR))
+            hits = []
+            if quadratic.search(plan):
+                hits.append("lambda-indexed fresh split (O(words^2))")
+            for line in plan.splitlines():
+                if "Filter" in line and ("md5" in line
+                                         or "transform(" in line):
+                    hits.append(f"heavy expr in Filter: {line[:120]}")
+                    break
+            if hits:
+                offenders[name] = hits
+        assert not offenders, offenders

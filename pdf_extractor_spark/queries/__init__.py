@@ -87,12 +87,24 @@ _LAST_DRIVER_ROUND: Dict[str, int] = {
 _MODULES = (extraction, mdvalidate, webcur, webgraph, search, curation,
             training, dedup, simsearch, textstats, temporal, relational)
 _ordered = []
+# Queries whose IMPLEMENTATION changed this round rank as if never
+# driver-verified: a rewrite must re-earn its official hash-green row
+# the round it ships, not ride a stale verification of the old code.
+# (Round 5: the linear-shingle contamination/jaccard rewrites, the
+# curation_pipeline that inherits them, and shard_export's bit_xor
+# checksum. Maintained by hand alongside _LAST_DRIVER_ROUND.)
+_CHANGED_THIS_ROUND = frozenset({
+    "benchmark_contamination", "curation_pipeline",
+    "dedup_ngram_jaccard", "shard_export",
+})
+
 for mod in _MODULES:
     for _name, _entry in mod.QUERIES.items():
         if any(_name == n for n, _e in _ordered):
             raise ValueError(f"duplicate query name: {_name}")
         _ordered.append((_name, _entry))
-_ordered.sort(key=lambda ne: _LAST_DRIVER_ROUND.get(ne[0], 0))  # stable
+_ordered.sort(key=lambda ne: (0 if ne[0] in _CHANGED_THIS_ROUND
+                              else _LAST_DRIVER_ROUND.get(ne[0], 0)))
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = dict(_ordered)
 
 

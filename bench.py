@@ -141,7 +141,10 @@ def main() -> int:
     proto = {}
     if proto_docs > 0:
         proto_path = f"/tmp/bench_pages_protocol_{proto_docs}"
-        if not os.path.exists(proto_path):
+        # cache key = the _SUCCESS marker, not the dir: an interrupted
+        # generation leaves a partial directory a bare exists() would
+        # mistake for the corpus
+        if not os.path.exists(os.path.join(proto_path, "_SUCCESS")):
             log(f"materializing {proto_docs} protocol pages → {proto_path}")
             synth_pages_df(spark, n=proto_docs).repartition(128) \
                 .write.mode("overwrite").parquet(proto_path)
